@@ -1,0 +1,94 @@
+"""Fixed-shape IoU NMS that lives entirely under jit.
+
+Replaces the NMS inside InsightFace's native detector (reference
+``backend/app/utils/deepfake_utils.py:134-146``). Variable-length detections
+don't exist on TPU: we keep the top ``pre_topk`` candidates by score (one
+``lax.top_k``), build the dense [K, K] IoU matrix (one broadcasted VPU pass),
+run greedy suppression as a K-step ``lax.fori_loop`` of vector ops, and emit a
+**padded** [max_out] detection block with a validity mask — the mask is then
+threaded through alignment, embedding, and matching (SURVEY.md section 7 "hard
+parts": fixed-size padded detection slots + masking).
+
+K defaults to 256, so the IoU matrix is 64K floats — VMEM-trivial.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def iou_matrix(boxes: jnp.ndarray) -> jnp.ndarray:
+    """Dense pairwise IoU. boxes: [K, 4] xyxy -> [K, K] float32."""
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+    ix1 = jnp.maximum(x1[:, None], x1[None, :])
+    iy1 = jnp.maximum(y1[:, None], y1[None, :])
+    ix2 = jnp.minimum(x2[:, None], x2[None, :])
+    iy2 = jnp.minimum(y2[:, None], y2[None, :])
+    iw = jnp.maximum(ix2 - ix1, 0.0)
+    ih = jnp.maximum(iy2 - iy1, 0.0)
+    inter = iw * ih
+    union = area[:, None] + area[None, :] - inter
+    return inter / jnp.maximum(union, 1e-12)
+
+
+@partial(jax.jit, static_argnames=("pre_topk", "max_out"))
+def nms_padded(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    landmarks: jnp.ndarray,
+    *,
+    pre_topk: int = 256,
+    max_out: int = 16,
+    conf_thresh: float = 0.5,
+    iou_thresh: float = 0.4,
+):
+    """Greedy NMS with fixed output slots.
+
+    Args:
+        boxes: [A, 4] xyxy. scores: [A]. landmarks: [A, 10].
+    Returns dict with
+        boxes [max_out, 4], scores [max_out], landmarks [max_out, 10],
+        valid [max_out] bool, count scalar int32.
+    Padded slots have score 0 and valid False.
+    """
+    k = min(pre_topk, scores.shape[0])
+    top_scores, top_idx = jax.lax.top_k(scores, k)  # descending
+    top_boxes = jnp.take(boxes, top_idx, axis=0)
+    top_ldm = jnp.take(landmarks, top_idx, axis=0)
+
+    iou = iou_matrix(top_boxes)
+    above = top_scores >= conf_thresh
+    rng = jnp.arange(k)
+
+    def body(i, suppressed):
+        # i is the i-th highest-scoring box; it suppresses lower-ranked
+        # overlapping boxes only if it is itself alive.
+        alive_i = jnp.logical_and(jnp.logical_not(suppressed[i]), above[i])
+        hit = jnp.logical_and(iou[i] > iou_thresh, rng > i)
+        return jnp.where(jnp.logical_and(alive_i, hit), True, suppressed)
+
+    suppressed = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), dtype=bool))
+    keep = jnp.logical_and(jnp.logical_not(suppressed), above)
+
+    kept_scores = jnp.where(keep, top_scores, 0.0)
+    if max_out > k:  # fewer candidates than output slots: pad the pool
+        pad = max_out - k
+        kept_scores = jnp.concatenate([kept_scores, jnp.zeros((pad,))])
+        top_boxes = jnp.concatenate([top_boxes, jnp.zeros((pad, 4))])
+        top_ldm = jnp.concatenate([top_ldm, jnp.zeros((pad, top_ldm.shape[1]))])
+    out_scores, out_idx = jax.lax.top_k(kept_scores, max_out)
+    out_boxes = jnp.take(top_boxes, out_idx, axis=0)
+    out_ldm = jnp.take(top_ldm, out_idx, axis=0)
+    valid = out_scores > 0.0
+    zeros = jnp.zeros_like(out_boxes)
+    return {
+        "boxes": jnp.where(valid[:, None], out_boxes, zeros),
+        "scores": out_scores,
+        "landmarks": jnp.where(valid[:, None], out_ldm, jnp.zeros_like(out_ldm)),
+        "valid": valid,
+        "count": jnp.sum(valid.astype(jnp.int32)),
+    }

@@ -1,0 +1,141 @@
+"""Unit tests: anchors, decode, NMS — golden values from the standard
+RetinaFace formulation the reference consumes via InsightFace ONNX."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from frp_tpu.ops.anchors import generate_anchors, num_anchors
+from frp_tpu.ops.decode import decode_boxes, decode_landmarks
+from frp_tpu.ops.nms import iou_matrix, nms_padded
+
+
+def test_anchor_count_640():
+    a = generate_anchors(640)
+    assert a.shape == (16800, 4)  # 2*(80^2 + 40^2 + 20^2)
+    assert num_anchors(640) == 16800
+
+
+def test_anchor_first_cells():
+    a = generate_anchors(640)
+    # first cell of stride-8 level: center (0.5*8/640), sizes 16/640 then 32/640
+    np.testing.assert_allclose(a[0], [0.00625, 0.00625, 0.025, 0.025], rtol=1e-6)
+    np.testing.assert_allclose(a[1], [0.00625, 0.00625, 0.05, 0.05], rtol=1e-6)
+    # second cell is one step right in x
+    np.testing.assert_allclose(a[2][0], 0.00625 + 8 / 640, rtol=1e-6)
+    assert np.all(a[:, 2:] > 0)
+
+
+def test_decode_zero_deltas_is_prior():
+    priors = jnp.asarray(generate_anchors(640)[:8])
+    loc = jnp.zeros((8, 4))
+    boxes = np.asarray(decode_boxes(loc, priors, image_size=640.0))
+    expected_tl = (priors[:, :2] - priors[:, 2:] / 2) * 640
+    expected_br = (priors[:, :2] + priors[:, 2:] / 2) * 640
+    np.testing.assert_allclose(boxes[:, :2], expected_tl, rtol=1e-5)
+    np.testing.assert_allclose(boxes[:, 2:], expected_br, rtol=1e-5)
+
+
+def test_decode_matches_manual_formula(rng):
+    priors = jnp.asarray(generate_anchors(640)[100:110])
+    loc = jnp.asarray(rng.normal(size=(10, 4)).astype(np.float32))
+    got = np.asarray(decode_boxes(loc, priors, image_size=1.0))
+    p = np.asarray(priors)
+    l = np.asarray(loc)
+    cxy = p[:, :2] + l[:, :2] * 0.1 * p[:, 2:]
+    wh = p[:, 2:] * np.exp(l[:, 2:] * 0.2)
+    want = np.concatenate([cxy - wh / 2, cxy + wh / 2], axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_decode_landmarks_formula(rng):
+    priors = jnp.asarray(generate_anchors(640)[:6])
+    ldm = jnp.asarray(rng.normal(size=(6, 10)).astype(np.float32))
+    got = np.asarray(decode_landmarks(ldm, priors, image_size=640.0))
+    p = np.asarray(priors)
+    l = np.asarray(ldm).reshape(6, 5, 2)
+    want = (p[:, None, :2] + l * 0.1 * p[:, None, 2:]).reshape(6, 10) * 640.0
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_iou_matrix_golden():
+    boxes = jnp.asarray(
+        [[0, 0, 10, 10], [0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]],
+        jnp.float32,
+    )
+    iou = np.asarray(iou_matrix(boxes))
+    assert iou[0, 1] == 1.0
+    np.testing.assert_allclose(iou[0, 2], 25.0 / 175.0, rtol=1e-6)
+    assert iou[0, 3] == 0.0
+    np.testing.assert_allclose(np.diag(iou), 1.0)
+
+
+def _numpy_greedy_nms(boxes, scores, conf, iou_t):
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(scores), bool)
+    for i in order:
+        if suppressed[i] or scores[i] < conf:
+            continue
+        keep.append(i)
+        for j in order:
+            if j == i or suppressed[j]:
+                continue
+            bi, bj = boxes[i], boxes[j]
+            ix1, iy1 = max(bi[0], bj[0]), max(bi[1], bj[1])
+            ix2, iy2 = min(bi[2], bj[2]), min(bi[3], bj[3])
+            inter = max(ix2 - ix1, 0) * max(iy2 - iy1, 0)
+            ai = (bi[2] - bi[0]) * (bi[3] - bi[1])
+            aj = (bj[2] - bj[0]) * (bj[3] - bj[1])
+            if scores[j] <= scores[i] and inter / (ai + aj - inter + 1e-12) > iou_t:
+                suppressed[j] = True
+    return sorted(keep, key=lambda i: -scores[i])
+
+
+def test_nms_suppresses_duplicates():
+    boxes = np.array(
+        [
+            [0, 0, 10, 10],
+            [1, 1, 11, 11],   # heavy overlap with box 0, lower score
+            [50, 50, 60, 60],
+            [100, 100, 110, 110],  # below conf threshold
+        ],
+        np.float32,
+    )
+    scores = np.array([0.9, 0.8, 0.7, 0.3], np.float32)
+    ldm = np.zeros((4, 10), np.float32)
+    out = nms_padded(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(ldm),
+        pre_topk=4, max_out=8, conf_thresh=0.5, iou_thresh=0.4,
+    )
+    assert int(out["count"]) == 2
+    valid = np.asarray(out["valid"])
+    kept_boxes = np.asarray(out["boxes"])[valid]
+    np.testing.assert_allclose(kept_boxes[0], boxes[0])
+    np.testing.assert_allclose(kept_boxes[1], boxes[2])
+    # padded slots zeroed
+    assert np.all(np.asarray(out["boxes"])[~valid] == 0)
+
+
+def test_nms_matches_numpy_reference(rng):
+    n = 120
+    centers = rng.uniform(20, 600, size=(n, 2)).astype(np.float32)
+    sizes = rng.uniform(10, 60, size=(n, 1)).astype(np.float32)
+    boxes = np.concatenate([centers - sizes, centers + sizes], axis=1)
+    scores = rng.uniform(0, 1, size=n).astype(np.float32)
+    ldm = np.zeros((n, 10), np.float32)
+    out = nms_padded(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(ldm),
+        pre_topk=128, max_out=64, conf_thresh=0.3, iou_thresh=0.4,
+    )
+    want = _numpy_greedy_nms(boxes, scores, 0.3, 0.4)
+    got_scores = np.asarray(out["scores"])[np.asarray(out["valid"])]
+    np.testing.assert_allclose(np.sort(got_scores), np.sort(scores[want][:64]), rtol=1e-6)
+
+
+def test_nms_empty_when_all_below_threshold():
+    boxes = jnp.ones((10, 4))
+    scores = jnp.full((10,), 0.1)
+    ldm = jnp.zeros((10, 10))
+    out = nms_padded(boxes, scores, ldm, pre_topk=10, max_out=4, conf_thresh=0.5)
+    assert int(out["count"]) == 0
+    assert not bool(np.any(np.asarray(out["valid"])))
