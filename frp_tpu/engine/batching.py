@@ -1,0 +1,141 @@
+"""Host-side multi-stream frame batching.
+
+Replaces the reference's per-camera thread loop (``backend/app/routes/
+camera.py:277-306``, one ``run_in_executor`` per camera) with: grab a frame per
+camera, letterbox all of them into ONE fixed [B, S, S, 3] uint8 RGB batch, and
+hand that to the device pipeline. Letterboxing runs in cv2 (C++) on the host —
+uniform scale preserves aspect (the device quality score's aspect factor stays
+faithful to the original geometry), and shipping det-size uint8 frames keeps
+the host->HBM transfer ~5x smaller than raw 1080p (the relay link measures
+~1.5 GB/s).
+
+Ragged streams are handled with validity masks: cameras that yielded no frame
+get a zero slot and ``frame_ok=False`` (SURVEY.md section 7 "ragged
+multi-stream batching").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover - cv2 is present in the target image
+    cv2 = None
+
+
+@dataclass
+class BatchMeta:
+    """Per-slot bookkeeping to map device results back to source streams."""
+
+    cam_ids: list = field(default_factory=list)
+    scales: np.ndarray | None = None   # [B] uniform letterbox scale
+    offsets: np.ndarray | None = None  # [B, 2] (ox, oy) letterbox pad offsets
+    frame_ok: np.ndarray | None = None  # [B] bool
+    orig_hw: list = field(default_factory=list)
+
+
+def letterbox(frame: np.ndarray, size: int, to_rgb: bool = False):
+    """Uniform-scale resize + pad to [size, size]. Returns (img, scale, (ox, oy))."""
+    h, w = frame.shape[:2]
+    s = min(size / w, size / h)
+    nw, nh = max(1, int(round(w * s))), max(1, int(round(h * s)))
+    if cv2 is not None:
+        interp = cv2.INTER_AREA if s < 1.0 else cv2.INTER_LINEAR
+        resized = cv2.resize(frame, (nw, nh), interpolation=interp)
+        if to_rgb:
+            resized = cv2.cvtColor(resized, cv2.COLOR_BGR2RGB)
+    else:  # numpy nearest fallback
+        yi = np.clip((np.arange(nh) / s).astype(np.int64), 0, h - 1)
+        xi = np.clip((np.arange(nw) / s).astype(np.int64), 0, w - 1)
+        resized = frame[yi][:, xi]
+        if to_rgb:
+            resized = resized[..., ::-1]
+    out = np.zeros((size, size, 3), np.uint8)
+    ox = (size - nw) // 2
+    oy = (size - nh) // 2
+    out[oy : oy + nh, ox : ox + nw] = resized
+    return out, s, (ox, oy)
+
+
+def build_batch(
+    frames: dict, size: int, slots: int | None = None, bgr: bool = True
+) -> tuple[np.ndarray, BatchMeta]:
+    """Assemble {cam_id: frame or None} into a fixed device batch.
+
+    Args:
+        frames: mapping cam_id -> HxWx3 uint8 frame (BGR by default, as cv2
+            delivers) or None for a dropped frame.
+        size: letterbox target (the detector input size).
+        slots: pad the batch to this many slots (static jit shape). Defaults
+            to len(frames).
+    """
+    cam_ids = list(frames.keys())
+    b = slots or max(1, len(cam_ids))
+    batch = np.zeros((b, size, size, 3), np.uint8)
+    meta = BatchMeta(
+        cam_ids=cam_ids + [None] * (b - len(cam_ids)),
+        scales=np.ones((b,), np.float32),
+        offsets=np.zeros((b, 2), np.float32),
+        frame_ok=np.zeros((b,), bool),
+        orig_hw=[None] * b,
+    )
+    for i, cam in enumerate(cam_ids[:b]):
+        frame = frames[cam]
+        if frame is None or getattr(frame, "size", 0) == 0:
+            continue
+        img, s, (ox, oy) = letterbox(frame, size, to_rgb=bgr)
+        batch[i] = img
+        meta.scales[i] = s
+        meta.offsets[i] = (ox, oy)
+        meta.frame_ok[i] = True
+        meta.orig_hw[i] = frame.shape[:2]
+    return batch, meta
+
+
+def unmap_results(out: dict, meta: BatchMeta) -> list[dict]:
+    """Convert padded device results into per-camera detection lists with
+    boxes/landmarks back in original frame pixels."""
+    results = []
+    b, m = out["valid"].shape
+    for i in range(b):
+        cam = meta.cam_ids[i] if i < len(meta.cam_ids) else None
+        if cam is None or not meta.frame_ok[i]:
+            continue
+        s = float(meta.scales[i])
+        ox, oy = (float(v) for v in meta.offsets[i])
+        faces = []
+        for j in range(m):
+            if not out["valid"][i, j]:
+                continue
+            box = out["boxes"][i, j].astype(np.float64)
+            box = np.array(
+                [
+                    (box[0] - ox) / s,
+                    (box[1] - oy) / s,
+                    (box[2] - ox) / s,
+                    (box[3] - oy) / s,
+                ]
+            )
+            ldm = out["landmarks"][i, j].reshape(5, 2).astype(np.float64)
+            ldm = (ldm - np.array([ox, oy])) / s
+            face = {
+                "box": box,
+                "landmarks": ldm,
+                "score": float(out["scores"][i, j]),
+                "embedding": out["embeddings"][i, j],
+                "best_idx": int(out["best_idx"][i, j]),
+                "best_distance": float(out["best_distance"][i, j]),
+                "is_match": bool(out["is_match"][i, j]),
+                "topk_idx": out["topk_idx"][i, j],
+                "topk_distance": out["topk_distance"][i, j],
+            }
+            if "fake_prob" in out:
+                face["fake_prob"] = float(out["fake_prob"][i, j])
+            if "quality" in out:
+                face["quality"] = float(out["quality"][i, j])
+            faces.append(face)
+        results.append({"camera_id": cam, "faces": faces})
+    return results

@@ -1,0 +1,343 @@
+"""The fused recognition pipeline: frames -> detections -> aligned crops ->
+embeddings (+ spoof) -> gallery matches, as ONE jitted XLA graph.
+
+This replaces the reference's hottest path — per-camera Python threads calling
+dlib detect + embed then numpy compare (``backend/app/routes/camera.py:
+171-272`` + ``face_service.py:395-443``, SURVEY.md section 3.2) — with a
+single device-resident graph over the whole multi-camera batch:
+
+    frames   [B, H, W, 3] uint8          (B = streams x frames, mesh-sharded)
+      └ preprocess: resize to det grid, normalize, bf16      (ops.image)
+      └ RetinaFace forward                                   (models.retinaface)
+      └ anchor decode -> per-frame padded NMS (vmap)         (ops.decode/nms)
+      └ 5-pt similarity alignment + batched warp             (ops.align)
+      └ MobileFaceNet embeddings [B, M, D]                   (models.mobilefacenet)
+      └ optional MobileNetV3 spoof probs [B, M]              (models.mobilenetv3)
+      └ gallery matmul match + quality scores                (ops.matching/quality)
+
+Everything is shape-static: M = max_faces slots per frame with validity masks
+threaded end-to-end. The batch axis B is sharded over the mesh 'data' axis;
+all gathers stay frame-local (see ops.align.warp_crops_batched), so the graph
+partitions with zero cross-device collectives in the forward pass.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+# Persistent compilation cache: the fused pipeline is a large program (~4 min
+# cold compile on v5e); cache it across processes.
+import os as _os
+jax.config.update(
+    "jax_compilation_cache_dir",
+    _os.environ.get("FRP_COMPILE_CACHE", "/tmp/frp_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from frp_tpu.config import Config, get_config
+from frp_tpu.engine.gallery import DeviceGallery
+from frp_tpu.models.mobilefacenet import init_mobilefacenet, mobilefacenet_forward
+from frp_tpu.models.mobilenetv3 import init_mobilenetv3_small, mobilenetv3_forward
+from frp_tpu.models.retinaface import init_retinaface, retinaface_forward
+from frp_tpu.ops.align import (
+    ARCFACE_TEMPLATE_112,
+    bbox_crop_matrices,
+    similarity_transform,
+    warp_crops_batched,
+)
+from frp_tpu.ops.anchors import generate_anchors
+from frp_tpu.ops.decode import decode_boxes, decode_landmarks
+from frp_tpu.ops.image import normalize_face, normalize_imagenet, preprocess_frames
+from frp_tpu.ops.matching import gallery_match
+from frp_tpu.ops.nms import nms_padded
+from frp_tpu.ops.quality import assess_quality_batch
+
+
+def build_pipeline(
+    *,
+    det_size: int = 640,
+    max_faces: int = 16,
+    pre_nms_topk: int = 256,
+    conf_thresh: float = 0.5,
+    nms_thresh: float = 0.4,
+    tolerance: float = 0.6,
+    top_k: int = 5,
+    with_spoof: bool = True,
+    with_quality: bool = True,
+    compute_dtype: str = "bfloat16",
+    spoof_size: int = 224,
+):
+    """Build the pure pipeline function (params, frames, gallery) -> results.
+
+    The returned function is jit/pjit-able; all knobs above are baked in as
+    static trace-time constants.
+    """
+    priors = jnp.asarray(generate_anchors(det_size))
+
+    def pipeline(params, frames, gallery, gallery_valid):
+        b, h, w, _ = frames.shape
+        m = max_faces
+
+        # --- detect on the resized grid ---
+        if h == det_size and w == det_size:  # host already letterboxed
+            x = ((frames.astype(jnp.float32) - 127.5) / 128.0).astype(
+                jnp.dtype(compute_dtype)
+            )
+            scale = jnp.ones((b, 2), jnp.float32)
+        else:
+            x, scale = preprocess_frames(frames, det_size, compute_dtype)
+        det = retinaface_forward(params["detector"], x)
+        boxes_det = decode_boxes(det["loc"], priors, float(det_size))  # [B, A, 4]
+        ldm_det = decode_landmarks(det["ldm"], priors, float(det_size))
+
+        nms_fn = partial(
+            nms_padded,
+            pre_topk=pre_nms_topk,
+            max_out=m,
+            conf_thresh=conf_thresh,
+            iou_thresh=nms_thresh,
+        )
+        dets = jax.vmap(nms_fn)(boxes_det, det["score"], ldm_det)
+        valid = dets["valid"]  # [B, M]
+        scores = dets["scores"]
+
+        # --- map detector px back to frame px ---
+        sxy = scale[:, None, :]  # [B, 1, 2]
+        boxes = dets["boxes"] * jnp.concatenate([sxy, sxy], axis=-1)  # [B, M, 4]
+        ldm = (dets["landmarks"].reshape(b, m, 5, 2) * sxy[:, :, None, :]).reshape(
+            b, m, 10
+        )
+
+        frames_f = frames.astype(jnp.float32)
+
+        # --- align + crop (frame-local gathers) ---
+        mats = similarity_transform(
+            ldm.reshape(b, m, 5, 2), jnp.asarray(ARCFACE_TEMPLATE_112)
+        )  # [B, M, 2, 3]
+        crops = warp_crops_batched(frames_f, mats, out_size=112)  # [B, M, 112², 3]
+
+        # --- embed ---
+        flat = crops.reshape(b * m, 112, 112, 3)
+        emb_in = normalize_face(flat).astype(jnp.dtype(compute_dtype))
+        emb = mobilefacenet_forward(params["embedder"], emb_in)  # [B*M, D] f32
+        emb = jnp.where(valid.reshape(-1, 1), emb, 0.0)
+
+        # --- match ---
+        match = gallery_match(
+            emb, gallery, gallery_valid, tolerance=tolerance, top_k=top_k
+        )
+        out = {
+            "boxes": boxes,
+            "scores": scores,
+            "landmarks": ldm,
+            "valid": valid,
+            "count": jnp.sum(valid.astype(jnp.int32), axis=1),
+            "embeddings": emb.reshape(b, m, -1),
+            "best_idx": match["best_idx"].reshape(b, m),
+            "best_distance": jnp.where(
+                valid, match["best_distance"].reshape(b, m), jnp.inf
+            ),
+            "is_match": jnp.logical_and(match["is_match"].reshape(b, m), valid),
+            "topk_idx": match["topk_idx"].reshape(b, m, -1),
+            "topk_distance": match["topk_distance"].reshape(b, m, -1),
+        }
+
+        # --- spoof (co-batched with recognition, reference config 4) ---
+        if with_spoof:
+            smats = bbox_crop_matrices(boxes, spoof_size)
+            scrops = warp_crops_batched(frames_f, smats, out_size=spoof_size)
+            sin = normalize_imagenet(scrops.reshape(b * m, spoof_size, spoof_size, 3))
+            logits = mobilenetv3_forward(
+                params["spoof"], sin.astype(jnp.dtype(compute_dtype))
+            )
+            fake_prob = jax.nn.softmax(logits, axis=-1)[:, 1].reshape(b, m)
+            out["fake_prob"] = jnp.where(valid, fake_prob, 0.0)
+
+        # --- quality (device replica of face_service.py:251-339) ---
+        if with_quality:
+            q = assess_quality_batch(
+                crops.reshape(b * m, 112, 112, 3),
+                boxes.reshape(b * m, 4),
+                (h, w),
+                valid.reshape(-1),
+            )
+            out["quality"] = q["score"].reshape(b, m)
+            out["blur_score"] = q["blur_score"].reshape(b, m)
+
+        return out
+
+    return pipeline
+
+
+@dataclass
+class EngineMetrics:
+    """Reference-parity runtime counters (face_service.py:67-77 semantics)."""
+
+    total_batches: int = 0
+    total_frames: int = 0
+    total_faces: int = 0
+    total_device_time: float = 0.0
+
+    def as_dict(self) -> dict:
+        avg = self.total_device_time / max(self.total_batches, 1)
+        return {
+            "total_batches": self.total_batches,
+            "total_frames": self.total_frames,
+            "total_faces_detected": self.total_faces,
+            "total_processing_time": round(self.total_device_time, 4),
+            "average_batch_time": round(avg, 4),
+            "frames_per_second": round(
+                self.total_frames / max(self.total_device_time, 1e-9), 2
+            ),
+        }
+
+
+class RecognitionEngine:
+    """Host-facing wrapper: params + gallery + jitted pipeline + metrics.
+
+    Thread-safe for concurrent ``process_frames`` callers (the API layer's
+    camera scan and enrollment paths share one engine).
+    """
+
+    def __init__(
+        self,
+        cfg: Config | None = None,
+        mesh=None,
+        seed: int = 0,
+        with_spoof: bool = True,
+    ):
+        self.cfg = cfg or get_config()
+        self.mesh = mesh
+        self.with_spoof = with_spoof
+        # device-resident params: a numpy pytree passed through jit would be
+        # re-uploaded leaf-by-leaf on EVERY dispatch (measured ~5 ms/call on
+        # v5e vs 0.2 ms with committed arrays)
+        self.params = jax.device_put(
+            {
+                "detector": init_retinaface(seed),
+                "embedder": init_mobilefacenet(seed + 1, embed_dim=self.cfg.embed_dim),
+                "spoof": init_mobilenetv3_small(seed + 2, num_classes=2),
+            }
+        )
+        self.gallery = DeviceGallery(embed_dim=self.cfg.embed_dim)
+        self.metrics = EngineMetrics()
+        self._lock = threading.Lock()
+        self._jitted: dict = {}
+
+    # -- compilation management -------------------------------------------
+    def _get_fn(self, batch: int, h: int, w: int, tolerance: float):
+        key = (batch, h, w, self.gallery.capacity, round(tolerance, 6))
+        fn = self._jitted.get(key)
+        if fn is None:
+            pipeline = build_pipeline(
+                det_size=self.cfg.det_size,
+                max_faces=self.cfg.max_faces_per_frame,
+                pre_nms_topk=self.cfg.pre_nms_topk,
+                conf_thresh=self.cfg.det_conf_threshold,
+                nms_thresh=self.cfg.det_nms_threshold,
+                tolerance=tolerance,
+                with_spoof=self.with_spoof,
+                compute_dtype=self.cfg.compute_dtype,
+            )
+            if self.mesh is not None:
+                data = NamedSharding(self.mesh, P("data"))
+                repl = NamedSharding(self.mesh, P())
+                fn = jax.jit(
+                    pipeline,
+                    in_shardings=(repl, data, repl, repl),
+                    out_shardings=data,
+                )
+            else:
+                fn = jax.jit(pipeline)
+            self._jitted[key] = fn
+        return fn
+
+    # -- main entry ---------------------------------------------------------
+    def process_frames(self, frames: np.ndarray, tolerance: float | None = None):
+        """frames: [B, H, W, 3] uint8 RGB. Returns host-side result dict of
+        numpy arrays (padded shapes + masks)."""
+        import time
+
+        tolerance = self.cfg.face_tolerance if tolerance is None else tolerance
+        frames = np.ascontiguousarray(frames, dtype=np.uint8)
+        if frames.ndim == 3:
+            frames = frames[None]
+        b, h, w, _ = frames.shape
+        gal, gal_valid = self.gallery.device_arrays()
+        fn = self._get_fn(b, h, w, tolerance)
+        t0 = time.perf_counter()
+        out = fn(self.params, jnp.asarray(frames), gal, gal_valid)
+        # ONE batched fetch: per-leaf np.asarray costs a full host round-trip
+        # per array (measured ~1 s/leaf through the TPU relay vs 0.1 ms for
+        # a single device_get of the whole tree)
+        out = jax.device_get(out)
+        dt = time.perf_counter() - t0
+        with self._lock:
+            self.metrics.total_batches += 1
+            self.metrics.total_frames += b
+            self.metrics.total_faces += int(out["count"].sum())
+            self.metrics.total_device_time += dt
+        out["processing_time"] = dt
+        return out
+
+    # -- convenience: single image encode (enrollment path) -----------------
+    def encode_image(self, image: np.ndarray):
+        """Detect + embed a single RGB image. Returns list of face dicts
+        (embedding, box, landmarks, quality, score) — the engine-side half of
+        the reference's ``encode_face`` (face_service.py:87-219)."""
+        out = self.process_frames(image[None])
+        faces = []
+        for i in range(out["valid"].shape[1]):
+            if not out["valid"][0, i]:
+                continue
+            faces.append(
+                {
+                    "embedding": out["embeddings"][0, i],
+                    "box": out["boxes"][0, i],
+                    "landmarks": out["landmarks"][0, i],
+                    "score": float(out["scores"][0, i]),
+                    "quality": float(out.get("quality", np.zeros((1, i + 1)))[0, i]),
+                    "fake_prob": float(out["fake_prob"][0, i])
+                    if "fake_prob" in out
+                    else None,
+                }
+            )
+        return faces
+
+    def warmup(self, batch: int, h: int | None = None, w: int | None = None):
+        """Pre-compile for a frame geometry (startup, not first-request)."""
+        h = h or self.cfg.det_size
+        w = w or self.cfg.det_size
+        dummy = np.zeros((batch, h, w, 3), np.uint8)
+        self.process_frames(dummy)
+
+    # -- async submission (overlaps h2d transfer + compute across batches) ---
+    def submit(self, frames: np.ndarray, tolerance: float | None = None):
+        """Dispatch a batch without blocking; returns a handle for fetch().
+        Used by the camera scan loop and bench to pipeline h2d transfer and
+        device compute across consecutive batches."""
+        tolerance = self.cfg.face_tolerance if tolerance is None else tolerance
+        frames = np.ascontiguousarray(frames, dtype=np.uint8)
+        if frames.ndim == 3:
+            frames = frames[None]
+        b, h, w, _ = frames.shape
+        gal, gal_valid = self.gallery.device_arrays()
+        fn = self._get_fn(b, h, w, tolerance)
+        return fn(self.params, jnp.asarray(frames), gal, gal_valid), b
+
+    def fetch(self, handle):
+        """Block on a submit() handle and return host-side results."""
+        out, b = handle
+        out = jax.device_get(out)
+        with self._lock:
+            self.metrics.total_batches += 1
+            self.metrics.total_frames += b
+            self.metrics.total_faces += int(out["count"].sum())
+        return out

@@ -155,3 +155,28 @@ def warp_crops(
         return _bilinear_sample(frame, sx - 0.5, sy - 0.5)
 
     return jax.vmap(one)(inv, frame_idx.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("out_size",))
+def warp_crops_batched(
+    frames: jnp.ndarray, matrices: jnp.ndarray, out_size: int = 112
+) -> jnp.ndarray:
+    """SPMD-friendly variant: faces stay grouped under their frame.
+
+    Args:
+        frames: [B, H, W, C]; matrices: [B, M, 2, 3] (source px -> output px).
+    Returns [B, M, S, S, C]. The leading B axis is the mesh 'data' axis —
+    every gather reads only its own frame, so sharding B over devices keeps
+    alignment entirely local (no cross-device gathers).
+    """
+    inv = invert_similarity(matrices)  # [B, M, 2, 3]
+    grid = jnp.arange(out_size, dtype=jnp.float32) + 0.5
+    gy, gx = jnp.meshgrid(grid, grid, indexing="ij")
+
+    def one_face(frame, minv):
+        sx = minv[0, 0] * gx + minv[0, 1] * gy + minv[0, 2]
+        sy = minv[1, 0] * gx + minv[1, 1] * gy + minv[1, 2]
+        return _bilinear_sample(frame, sx - 0.5, sy - 0.5)
+
+    per_frame = jax.vmap(one_face, in_axes=(None, 0))
+    return jax.vmap(per_frame)(frames, inv)

@@ -1,0 +1,159 @@
+"""AppContext: the one place the object graph is built.
+
+Replaces the reference's import-time side effects (Mongo connect at import
+``db.py:155``, camera opens at import ``main.py:75-86``, detector construction
+at import ``deepfake.py:30``) with an explicit, lazily-constructable context
+the API layer and tests own.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+from frp_tpu.config import Config, get_config
+from frp_tpu.platform.alerts import AlertService
+from frp_tpu.platform.async_tasks import AsyncTaskManager
+from frp_tpu.platform.dbops import ensure_indexes, make_log_alert, make_save_detection
+from frp_tpu.platform.deepfake import DeepfakeService
+from frp_tpu.platform.face_service import FaceService
+from frp_tpu.platform.federated import FederatedService
+from frp_tpu.platform.health import HealthMonitor
+from frp_tpu.platform.state import (
+    DEFAULT_CAMERA_CONFIGS,
+    CameraRegistry,
+    EventHub,
+    ModelManager,
+)
+from frp_tpu.platform.tracking import TrackingService
+from frp_tpu.utils.crypto import EmbeddingCipher
+from frp_tpu.utils.docstore import connect
+from frp_tpu.utils.logger import get_logger, setup_logger
+from frp_tpu.utils.thumbnail_cache import ThumbnailCache
+
+logger = get_logger("frp.platform.context")
+
+
+class AppContext:
+    def __init__(
+        self,
+        cfg: Config | None = None,
+        engine=None,
+        camera_configs: list | None = None,
+        mesh=None,
+    ):
+        self.cfg = cfg or get_config()
+        setup_logger("frp", self.cfg.log_dir, self.cfg.log_json)
+        os.makedirs(self.cfg.data_dir, exist_ok=True)
+
+        # storage (never raises; embedded store by default)
+        self.db, self.db_backend = connect(
+            self.cfg.mongo_uri, os.path.join(self.cfg.data_dir, "store")
+        )
+        ensure_indexes(self.db)
+        self.cipher = EmbeddingCipher(self.cfg.data_dir)
+
+        # engine (injectable for tests)
+        if engine is None:
+            from frp_tpu.engine.pipeline import RecognitionEngine
+
+            engine = RecognitionEngine(self.cfg, mesh=mesh)
+        self.engine = engine
+
+        # shared state
+        self.events = EventHub()
+        self.cameras = CameraRegistry()
+        self.cameras.init_cameras(camera_configs or DEFAULT_CAMERA_CONFIGS)
+        self.models = ModelManager(self.cfg.model_idle_unload_seconds)
+        self.thumbnails = ThumbnailCache(
+            os.path.join(self.cfg.data_dir, "snapshots_cache"),
+            ttl=self.cfg.snapshot_ttl,
+            disk_quota_mb=self.cfg.snapshot_cache_mb,
+            redis_url=self.cfg.redis_url,
+        )
+
+        # services
+        self.face_service = FaceService(
+            engine,
+            faces_collection=self.db["faces"],
+            cipher=self.cipher,
+            tolerance=self.cfg.face_tolerance,
+            cache_ttl=self.cfg.encode_cache_ttl,
+            cache_size=self.cfg.encode_cache_size,
+            backup_dir=os.path.join(self.cfg.data_dir, "backups"),
+        )
+        self.tracking = TrackingService(
+            camera_metadata=self.cameras.metadata(),
+            cooldown_seconds=self.cfg.detection_cooldown,
+            persist_fn=make_save_detection(self.db),
+            event_hub=self.events,
+        )
+        self.alerts = AlertService(
+            camera_metadata=self.cameras.metadata(),
+            config_collection=self.db["config"],
+            log_alert_fn=make_log_alert(self.db, self.cfg.log_dir),
+            event_hub=self.events,
+            email_config={
+                "enabled": bool(self.cfg.smtp_host),
+                "smtp_server": self.cfg.smtp_host,
+                "smtp_port": self.cfg.smtp_port,
+                "sender_email": self.cfg.smtp_user,
+                "sender_password": self.cfg.smtp_password,
+                "recipients": [e for e in self.cfg.alert_email_to.split(",") if e],
+            },
+            sms_config={
+                "enabled": bool(self.cfg.twilio_sid),
+                "api_key": self.cfg.twilio_sid,
+                "api_secret": self.cfg.twilio_token,
+                "sender_phone": self.cfg.twilio_from,
+                "recipients": [p for p in self.cfg.alert_sms_to.split(",") if p],
+            },
+            cooldown_seconds=self.cfg.alert_cooldown,
+            email_cooldown=self.cfg.email_cooldown,
+            sms_cooldown=self.cfg.sms_cooldown,
+            notify_workers=self.cfg.notify_workers,
+        )
+        self.deepfake = DeepfakeService(
+            engine,
+            deepfake_collection=self.db["deepfakes"],
+            max_frames=self.cfg.deepfake_max_frames,
+            threshold=self.cfg.deepfake_threshold,
+            cache_ttl=self.cfg.deepfake_cache_ttl,
+        )
+        self.federated = FederatedService(
+            weights_dir=os.path.join(self.cfg.data_dir, "fl_weights"),
+            min_clients=self.cfg.fl_min_clients,
+            history_limit=self.cfg.fl_history_limit,
+            mesh=mesh,
+        )
+        self.async_tasks = AsyncTaskManager(
+            face_service=self.face_service,
+            event_hub=self.events,
+            jobs_collection=self.db["async_jobs"],
+            max_workers=self.cfg.async_max_workers,
+            retention_seconds=self.cfg.job_retention,
+        )
+        self.health = HealthMonitor(
+            self.cameras, self.db["cameras"], self.cfg.camera_health_interval
+        )
+
+        # keep service metadata views in sync when cameras change
+        self._meta_lock = threading.Lock()
+
+    def refresh_camera_metadata(self):
+        """Call after camera add/update/delete so tracking + alerts see it."""
+        meta = self.cameras.metadata()
+        with self._meta_lock:
+            self.tracking.camera_metadata = meta
+            self.alerts.camera_metadata = meta
+
+    def startup(self, hydrate: bool = True, start_health: bool = True):
+        if hydrate:
+            self.face_service.hydrate()
+        if start_health:
+            self.health.start()
+
+    def shutdown(self):
+        self.health.stop()
+        self.async_tasks.shutdown()
+        self.cameras.close_all()

@@ -1,0 +1,67 @@
+"""Embedding encryption at rest — Fernet (AES-128-CBC + HMAC), matching the
+reference's scheme and key handling (``backend/app/utils/db.py:171-267``):
+key auto-generated on first run into ``{data_dir}/.encryption_key`` chmod 600;
+embeddings serialized as JSON, Fernet-encrypted, stored base64 (str).
+
+Encryption stays host-side; the gallery is decrypted ONCE at startup into the
+device-resident matrix (BASELINE.json "encrypted-embedding gallery" flow) —
+unlike the reference, which never re-hydrates ENCODINGS after boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+try:
+    from cryptography.fernet import Fernet, InvalidToken
+except ImportError:  # pragma: no cover
+    Fernet = None
+    InvalidToken = Exception
+
+
+class EmbeddingCipher:
+    def __init__(self, data_dir: str = "data", key: bytes | None = None):
+        self._fernet = None
+        if Fernet is None:
+            return
+        if key is None:
+            key = self._load_or_create_key(data_dir)
+        self._fernet = Fernet(key)
+
+    @staticmethod
+    def _load_or_create_key(data_dir: str) -> bytes:
+        os.makedirs(data_dir, exist_ok=True)
+        path = os.path.join(data_dir, ".encryption_key")
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                return f.read().strip()
+        key = Fernet.generate_key()
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o600)
+        with os.fdopen(fd, "wb") as f:
+            f.write(key)
+        return key
+
+    @property
+    def available(self) -> bool:
+        return self._fernet is not None
+
+    def encrypt_embedding(self, embedding) -> str:
+        payload = json.dumps(np.asarray(embedding, np.float64).tolist()).encode()
+        if self._fernet is None:  # plaintext fallback, clearly marked
+            return "plain:" + payload.decode()
+        return self._fernet.encrypt(payload).decode()
+
+    def decrypt_embedding(self, token: str) -> np.ndarray | None:
+        try:
+            if token.startswith("plain:"):
+                data = token[len("plain:"):].encode()
+            elif self._fernet is None:
+                return None
+            else:
+                data = self._fernet.decrypt(token.encode())
+            return np.asarray(json.loads(data), np.float64)
+        except (InvalidToken, ValueError, json.JSONDecodeError):
+            return None

@@ -1,0 +1,175 @@
+"""Logging and audit vertical — reference semantics from ``backend/app/utils/
+logger.py:121-259`` and the per-target logs in ``db.py:281-326``:
+
+* ``setup_logger`` — console + rotating file logs/app.log (10 MB x 5),
+  optional JSON-lines format, idempotent.
+* separate non-propagating audit logger -> logs/audit.log, JSON-lines,
+  chmod 600; ``audit_event(type, payload)`` redacts sensitive keys.
+* per-target detection logs as logs/{target}.txt + .json.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import threading
+from datetime import datetime, timezone
+from logging.handlers import RotatingFileHandler
+
+SENSITIVE_KEYS = {
+    "embedding", "embeddings", "image", "frame", "password", "token",
+    "secret", "key", "encoding", "encodings",
+}
+
+_lock = threading.Lock()
+_configured: dict = {}
+
+
+class JsonFormatter(logging.Formatter):
+    def format(self, record):
+        payload = {
+            "ts": datetime.now(timezone.utc).isoformat(),
+            "level": record.levelname,
+            "logger": record.name,
+            "message": record.getMessage(),
+        }
+        if record.exc_info:
+            payload["exc"] = self.formatException(record.exc_info)
+        return json.dumps(payload)
+
+
+def setup_logger(
+    name: str = "frp",
+    log_dir: str = "logs",
+    json_format: bool = False,
+    level: int = logging.INFO,
+) -> logging.Logger:
+    """Idempotent: repeated calls return the already-configured logger."""
+    with _lock:
+        if name in _configured:
+            return _configured[name]
+        logger = logging.getLogger(name)
+        logger.setLevel(level)
+        logger.propagate = False
+        fmt = (
+            JsonFormatter()
+            if json_format
+            else logging.Formatter("%(asctime)s %(levelname)s %(name)s: %(message)s")
+        )
+        sh = logging.StreamHandler()
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
+        try:
+            os.makedirs(log_dir, exist_ok=True)
+            fh = RotatingFileHandler(
+                os.path.join(log_dir, "app.log"),
+                maxBytes=10 * 1024 * 1024,
+                backupCount=5,
+            )
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
+        except OSError:
+            pass
+        _configured[name] = logger
+        return logger
+
+
+def get_logger(name: str) -> logging.Logger:
+    root = _configured.get("frp") or setup_logger()
+    child = logging.getLogger(name)
+    if not child.handlers:
+        child.handlers = root.handlers
+        child.setLevel(root.level)
+        child.propagate = False
+    return child
+
+
+# ---------------------------------------------------------------------------
+# audit
+# ---------------------------------------------------------------------------
+
+_audit_logger = None
+
+
+def _get_audit_logger(log_dir: str = "logs") -> logging.Logger:
+    global _audit_logger
+    with _lock:
+        if _audit_logger is not None:
+            return _audit_logger
+        logger = logging.getLogger("frp.audit")
+        logger.setLevel(logging.INFO)
+        logger.propagate = False
+        try:
+            os.makedirs(log_dir, exist_ok=True)
+            path = os.path.join(log_dir, "audit.log")
+            fh = logging.FileHandler(path)
+            fh.setFormatter(logging.Formatter("%(message)s"))
+            logger.addHandler(fh)
+            try:
+                os.chmod(path, 0o600)
+            except OSError:
+                pass
+        except OSError:
+            logger.addHandler(logging.NullHandler())
+        _audit_logger = logger
+        return logger
+
+
+def redact_sensitive(payload):
+    """Recursively replace sensitive values (logger.py:96-119 semantics)."""
+    if isinstance(payload, dict):
+        return {
+            k: "[REDACTED]" if k.lower() in SENSITIVE_KEYS else redact_sensitive(v)
+            for k, v in payload.items()
+        }
+    if isinstance(payload, (list, tuple)):
+        return [redact_sensitive(v) for v in payload]
+    return payload
+
+
+def audit_event(event_type: str, payload: dict | None = None, log_dir: str = "logs"):
+    logger = _get_audit_logger(log_dir)
+    record = {
+        "ts": datetime.now(timezone.utc).isoformat(),
+        "type": event_type,
+        "payload": redact_sensitive(payload or {}),
+    }
+    logger.info(json.dumps(record, default=str))
+    return record
+
+
+# ---------------------------------------------------------------------------
+# per-target detection logs (db.py:281-326)
+# ---------------------------------------------------------------------------
+
+def create_target_log_files(target: str, log_dir: str = "logs"):
+    os.makedirs(log_dir, exist_ok=True)
+    txt = os.path.join(log_dir, f"{target}.txt")
+    jsn = os.path.join(log_dir, f"{target}.json")
+    for path, init in ((txt, ""), (jsn, "[]")):
+        if not os.path.exists(path):
+            with open(path, "w") as f:
+                f.write(init)
+    return txt, jsn
+
+
+def append_target_log(target: str, entry: dict, log_dir: str = "logs"):
+    txt, jsn = create_target_log_files(target, log_dir)
+    line = (
+        f"{entry.get('timestamp', datetime.now().isoformat())} | "
+        f"camera={entry.get('camera_id')} ({entry.get('camera_name', '?')}) | "
+        f"distance={entry.get('distance')}\n"
+    )
+    with open(txt, "a") as f:
+        f.write(line)
+    try:
+        with open(jsn, "r") as f:
+            items = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        items = []
+    items.append(entry)
+    tmp = jsn + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(items, f, default=str)
+    os.replace(tmp, jsn)

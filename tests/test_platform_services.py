@@ -1,0 +1,400 @@
+"""Platform-service tests against reference-cited behavior: tracking formulas,
+alert priority matrix + cooldowns, FedAvg service state machine, face service
+storage/compare semantics, docstore, crypto, async jobs."""
+
+import time
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+
+from frp_tpu.engine.gallery import DeviceGallery
+from frp_tpu.platform.alerts import AlertService
+from frp_tpu.platform.async_tasks import AsyncTaskManager
+from frp_tpu.platform.face_service import FaceService
+from frp_tpu.platform.federated import FederatedService
+from frp_tpu.platform.state import CameraRegistry, EventHub, ModelManager, SyntheticSource
+from frp_tpu.platform.tracking import TrackingService, haversine_km
+from frp_tpu.utils.crypto import EmbeddingCipher
+from frp_tpu.utils.docstore import DocStore
+
+CAM_META = {
+    0: {"name": "Cam A", "geo": (18.555, 73.808)},
+    1: {"name": "Cam B", "geo": (18.528, 73.847)},
+}
+
+
+class FakeEngine:
+    """Deterministic engine double: one face per image, embedding = mean-based."""
+
+    class _Metrics:
+        def as_dict(self):
+            return {}
+
+    def __init__(self, dim=128):
+        self.gallery = DeviceGallery(embed_dim=dim)
+        self.metrics = self._Metrics()
+        self.cfg = type("C", (), {"det_size": 64, "frames_per_batch": 4})()
+
+    def encode_image(self, image):
+        rng = np.random.default_rng(int(np.asarray(image).sum()) % 2**31)
+        emb = rng.normal(size=self.gallery.embed_dim).astype(np.float32)
+        emb /= np.linalg.norm(emb)
+        return [
+            {
+                "embedding": emb,
+                "box": np.array([10.0, 10.0, 50.0, 50.0]),
+                "landmarks": np.zeros((5, 2)),
+                "score": 0.9,
+                "quality": 80.0,
+                "fake_prob": 0.1,
+            }
+        ]
+
+
+# ---------------------------------------------------------------------------
+# tracking
+# ---------------------------------------------------------------------------
+
+def test_haversine_known_distance():
+    # Pune Station -> Shivaji Nagar ~ 5 km ballpark
+    d = haversine_km((18.528, 73.847), (18.555, 73.808))
+    assert 4.0 < d < 6.5
+    assert haversine_km((0, 0), (0, 0)) == 0.0
+
+
+def test_tracking_cooldown_dedup():
+    ts = TrackingService(CAM_META, cooldown_seconds=10)
+    t0 = datetime(2026, 8, 16, 12, 0, 0)
+    r1 = ts.record_detection("alice", 0, 0.3, t0)
+    assert r1["recorded"]
+    r2 = ts.record_detection("alice", 0, 0.3, t0 + timedelta(seconds=5))
+    assert not r2["recorded"] and r2["duplicate"]
+    r3 = ts.record_detection("alice", 0, 0.3, t0 + timedelta(seconds=11))
+    assert r3["recorded"]
+
+
+def test_tracking_speed_and_transitions():
+    ts = TrackingService(CAM_META, cooldown_seconds=0.1)
+    t0 = datetime(2026, 8, 16, 12, 0, 0)
+    ts.record_detection("bob", 0, 0.3, t0)
+    r = ts.record_detection("bob", 1, 0.3, t0 + timedelta(minutes=30))
+    # ~5 km in 0.5 h -> ~10 km/h
+    assert 8.0 < r["speed_kmh"] < 13.0
+    assert ts.get_transition_matrix() == {"0": {1: 1}}
+    assert ts.stats["camera_switches"] == 1
+    path = ts.get_movement_path("bob")
+    assert [p["camera_id"] for p in path] == [0, 1]
+
+
+def test_tracking_anomaly_night_and_speed():
+    ts = TrackingService(CAM_META, cooldown_seconds=0)
+    night = datetime(2026, 8, 16, 23, 30, 0)
+    ts.record_detection("carol", 0, 0.3, night)
+    # single visitor: visit_ratio = 1.0 > 0.5 (+0.4), night (+0.3)
+    score = ts._anomaly_scores["carol"][-1]
+    assert abs(score - 0.7) < 1e-9
+
+
+def test_tracking_suspicious_oscillation():
+    ts = TrackingService(CAM_META, cooldown_seconds=0)
+    t = datetime(2026, 8, 16, 12, 0, 0)
+    for i, cam in enumerate([0, 1, 0, 1]):
+        ts.record_detection("dave", cam, 0.3, t + timedelta(seconds=20 * i))
+    rep = ts.detect_suspicious_patterns("dave")
+    assert any("back-and-forth" in p for p in rep["patterns"])
+    assert rep["is_suspicious"]
+
+
+def test_tracking_compare_patterns_weights():
+    ts = TrackingService(CAM_META, cooldown_seconds=0)
+    t = datetime(2026, 8, 16, 12, 0, 0)
+    ts.record_detection("p1", 0, 0.3, t)
+    ts.record_detection("p2", 0, 0.3, t)
+    cmp = ts.compare_movement_patterns("p1", "p2")
+    # same camera + same hour + no speeds: 1.0*.4 + 1.0*.4 + 0.5*.2 = 0.9
+    assert abs(cmp["similarity_score"] - 0.9) < 1e-6
+
+
+def test_tracking_dwell_contiguous_block():
+    ts = TrackingService(CAM_META, cooldown_seconds=0)
+    t = datetime(2026, 8, 16, 12, 0, 0)
+    ts.record_detection("eve", 0, 0.3, t)
+    ts.record_detection("eve", 0, 0.3, t + timedelta(seconds=30))
+    r = ts.record_detection("eve", 1, 0.3, t + timedelta(seconds=60))
+    assert abs(r["dwell_time_seconds"] - 60.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# alerts
+# ---------------------------------------------------------------------------
+
+def _alert_service(**kw):
+    return AlertService(camera_metadata=CAM_META, **kw)
+
+
+def test_alert_priority_matrix():
+    svc = _alert_service()
+    svc.add_to_watchlist("wanted")
+    svc.add_geofence("zone1", [0])
+    # watchlist + geofence -> critical
+    r = svc.generate_alert("wanted", 0, 0.5)
+    assert r["priority"] == "critical"
+    # watchlist only -> high
+    r = svc.generate_alert("wanted", 1, 0.5)
+    assert r["priority"] == "high"
+    # geofence only -> high
+    r = svc.generate_alert("stranger", 0, 0.5)
+    assert r["priority"] == "high"
+    # neither, high confidence -> medium
+    r = svc.generate_alert("stranger", 1, 0.35)
+    assert r["priority"] == "medium"
+    # neither, low confidence -> low
+    r = svc.generate_alert("stranger", 1, 0.55)
+    assert r["priority"] == "low"
+
+
+def test_alert_id_format_and_history():
+    svc = _alert_service()
+    ts = datetime(2026, 8, 16, 12, 0, 0)
+    r = svc.generate_alert("alice", 0, 0.3, ts)
+    assert r["alert_id"] == f"alice_0_{ts.timestamp()}_medium"
+    alerts = svc.get_alerts(target_name="alice")
+    assert len(alerts) == 1
+    assert svc.count_alerts(target_name="alice") == 1
+    assert svc.count_alerts(priority="critical") == 0
+
+
+def test_alert_acknowledge_is_a_real_method():
+    # the reference mis-indents this to module level (alert_service.py:342)
+    svc = _alert_service()
+    r = svc.generate_alert("bob", 0, 0.3)
+    ack = svc.acknowledge_alert(r["alert_id"], "operator", "checked")
+    assert ack["success"]
+    alert = svc.get_alerts(target_name="bob")[0]
+    assert alert["acknowledged"] and alert["acknowledged_by"] == "operator"
+    assert not svc.acknowledge_alert("nope", "x")["success"]
+
+
+def test_alert_event_hub_emits_new_alert():
+    hub = EventHub()
+    seen = []
+    hub.subscribe(lambda ev, data: seen.append((ev, data)))
+    svc = _alert_service(event_hub=hub)
+    svc.generate_alert("carol", 0, 0.3)
+    assert any(ev == "new_alert" for ev, _ in seen)
+
+
+def test_alert_watchlist_persistence_roundtrip(tmp_path):
+    store = DocStore(str(tmp_path))
+    svc = _alert_service(config_collection=store["config"])
+    svc.add_to_watchlist("wanted")
+    svc.add_geofence("z", [1])
+    svc2 = _alert_service(config_collection=store["config"])
+    assert svc2.get_watchlist() == ["wanted"]
+    assert "z" in svc2.get_geofences()
+
+
+# ---------------------------------------------------------------------------
+# federated service
+# ---------------------------------------------------------------------------
+
+def test_federated_upload_aggregate_roundtrip(tmp_path):
+    svc = FederatedService(weights_dir=str(tmp_path / "fl"), min_clients=2)
+    svc.upload_weights("c1", {"w": [1.0, 2.0], "b": [0.0]})
+    svc.upload_weights("c2", {"w": [3.0, 4.0], "b": [2.0]})
+    out = svc.aggregate()
+    assert out["success"] and out["version"] == 1
+    name, model = svc.get_global_model()
+    assert name == "global_model_v1"
+    np.testing.assert_allclose(model["w"], [2.0, 3.0])
+    np.testing.assert_allclose(model["b"], [1.0])
+    assert svc.status()["round"] == 1
+
+
+def test_federated_min_clients_gate(tmp_path):
+    svc = FederatedService(weights_dir=str(tmp_path / "fl"), min_clients=2)
+    svc.upload_weights("c1", {"w": [1.0]})
+    from frp_tpu.ops.fedavg import FedAvgError
+
+    with pytest.raises(FedAvgError, match="at least 2"):
+        svc.aggregate()
+    assert svc.state["status"] == "idle"  # status restored after failure
+
+
+def test_federated_nan_reject_and_structure_warning(tmp_path):
+    svc = FederatedService(weights_dir=str(tmp_path / "fl"))
+    from frp_tpu.ops.fedavg import FedAvgError
+
+    with pytest.raises(FedAvgError, match="NaN"):
+        svc.upload_weights("c1", {"w": [float("nan")]})
+    svc.upload_weights("c1", {"w": [1.0]})
+    r = svc.upload_weights("c1", {"w": [1.0], "extra": [2.0]})
+    assert r["warning"] is not None
+
+
+def test_federated_disk_warm_load(tmp_path):
+    d = str(tmp_path / "fl")
+    svc = FederatedService(weights_dir=d, min_clients=1)
+    svc.upload_weights("c1", {"w": [5.0]})
+    svc.aggregate(min_clients=1)
+    # fresh instance re-hydrates clients + version from disk
+    svc2 = FederatedService(weights_dir=d, min_clients=1)
+    assert svc2.state["version"] == 1
+    assert svc2.get_weights("c1") is not None
+    name, model = svc2.get_global_model()
+    np.testing.assert_allclose(model["w"], [5.0])
+
+
+def test_federated_proportional_weights(tmp_path):
+    svc = FederatedService(weights_dir=str(tmp_path / "fl"), min_clients=2)
+    svc.upload_weights("c1", {"w": [4.0]})
+    svc.upload_weights("c1", {"w": [4.0]})
+    svc.upload_weights("c1", {"w": [4.0]})  # contribution_count = 3
+    svc.upload_weights("c2", {"w": [0.0]})  # contribution_count = 1
+    svc.aggregate(proportional=True)
+    _, model = svc.get_global_model()
+    np.testing.assert_allclose(model["w"], [3.0])  # 0.75*4 + 0.25*0
+
+
+# ---------------------------------------------------------------------------
+# face service (fake engine)
+# ---------------------------------------------------------------------------
+
+def test_face_service_store_compare_delete(tmp_path):
+    store = DocStore(str(tmp_path))
+    cipher = EmbeddingCipher(str(tmp_path))
+    svc = FaceService(FakeEngine(), store["faces"], cipher, backup_dir=str(tmp_path / "b"))
+    emb = np.zeros(128, np.float32)
+    emb[0] = 1.0
+    svc.store_face("alice", emb)
+    res = svc.compare_embedding(emb)
+    assert res["match_found"] and res["best_match"]["target"] == "alice"
+    assert res["best_match"]["distance"] == 0.0
+    assert res["best_match"]["confidence"] == "high"
+    assert res["best_match"]["confidence_score"] == pytest.approx(99.75, abs=0.01)
+    # stored encrypted
+    doc = store["faces"].find_one({"target": "alice"})
+    assert doc and not doc["embedding"].startswith("plain:")
+    # delete
+    out = svc.delete_face("alice")
+    assert out["success"] and out["removed_from_db"]
+    assert svc.compare_embedding(emb)["match_found"] is False
+
+
+def test_face_service_duplicate_warning(tmp_path):
+    svc = FaceService(FakeEngine(), backup_dir=str(tmp_path / "b"))
+    emb = np.zeros(128, np.float32)
+    emb[0] = 1.0
+    svc.store_face("alice", emb)
+    r = svc.store_face("alice2", emb + 0.001)
+    assert r["warning"] and "alice" in r["warning"]
+
+
+def test_face_service_hydrate(tmp_path):
+    store = DocStore(str(tmp_path))
+    cipher = EmbeddingCipher(str(tmp_path))
+    svc = FaceService(FakeEngine(), store["faces"], cipher, backup_dir=str(tmp_path / "b"))
+    svc.store_face("p1", np.ones(128))
+    svc.store_face("p2", np.ones(128) * 2)
+    # new service instance: gallery empty until hydrate (reference never did this)
+    svc2 = FaceService(FakeEngine(), store["faces"], cipher, backup_dir=str(tmp_path / "b"))
+    assert len(svc2.gallery) == 0
+    assert svc2.hydrate() == 2
+    assert sorted(svc2.get_all_targets()) == ["p1", "p2"]
+
+
+def test_face_service_cluster_and_knn(tmp_path):
+    svc = FaceService(FakeEngine(), backup_dir=str(tmp_path / "b"))
+    a = np.zeros(128); a[0] = 1.0
+    b = a + 0.01
+    c = np.zeros(128); c[1] = 1.0
+    svc.store_face("a", a); svc.store_face("b", b); svc.store_face("c", c)
+    clusters = svc.cluster_faces(0.5)
+    groups = [set(v) for v in clusters.values()]
+    assert {"a", "b"} in groups and {"c"} in groups
+    knn = svc.find_k_nearest_targets(a, k=2)
+    assert [m["target"] for m in knn] == ["a", "b"]
+
+
+def test_face_service_encode_cache(tmp_path):
+    svc = FaceService(FakeEngine(), backup_dir=str(tmp_path / "b"))
+    img = np.full((64, 64, 3), 100, np.uint8)
+    r1 = svc.encode_image(img)
+    r2 = svc.encode_image(img)
+    assert not r1["cached"] and r2["cached"]
+    assert svc.get_performance_metrics()["cache_hit_rate"] == 0.5
+
+
+# ---------------------------------------------------------------------------
+# async jobs
+# ---------------------------------------------------------------------------
+
+def test_async_face_search_end_to_end(tmp_path):
+    hub = EventHub()
+    events = []
+    hub.subscribe(lambda ev, data: events.append(ev))
+    svc = FaceService(FakeEngine(), backup_dir=str(tmp_path / "b"))
+    mgr = AsyncTaskManager(face_service=svc, event_hub=hub)
+    img = np.full((64, 64, 3), 50, np.uint8)
+    job = mgr.enqueue_face_search(img)
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        j = mgr.get_job(job["job_id"])
+        if j["status"] in ("finished", "failed"):
+            break
+        time.sleep(0.05)
+    assert j["status"] == "finished", j.get("error")
+    assert "job_started" in events and "job_finished" in events
+    mgr.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# state: registry, model manager, synthetic source
+# ---------------------------------------------------------------------------
+
+def test_camera_registry_lifecycle():
+    reg = CameraRegistry()
+    reg.init_cameras([{"id": 0, "name": "A", "geo": (1, 2), "source": "synthetic:64x48"}])
+    cam = reg.get(0)
+    ok, frame = cam.read()
+    assert ok and frame.shape == (48, 64, 3)
+    assert reg.metadata()[0]["name"] == "A"
+    reg.update(0, name="B")
+    assert reg.metadata()[0]["name"] == "B"
+    with pytest.raises(ValueError):
+        reg.add(0, "dup")
+    assert reg.remove(0) and reg.get(0) is None
+
+
+def test_model_manager_idle_unload():
+    mm = ModelManager(idle_unload_seconds=0.01)
+    mm.register_loader("m", lambda: {"model": 1})
+    assert mm.get_model("m") == {"model": 1}
+    time.sleep(0.05)
+    assert mm.cleanup_idle_models() == ["m"]
+    assert mm.loaded() == []
+    with pytest.raises(KeyError):
+        mm.get_model("unknown")
+
+
+def test_synthetic_source_moves():
+    src = SyntheticSource(64, 48, seed=1)
+    _, f1 = src.read()
+    _, f2 = src.read()
+    assert not np.array_equal(f1, f2)
+
+
+# ---------------------------------------------------------------------------
+# crypto
+# ---------------------------------------------------------------------------
+
+def test_cipher_roundtrip_and_key_reuse(tmp_path):
+    c1 = EmbeddingCipher(str(tmp_path))
+    emb = np.arange(8, dtype=np.float64)
+    token = c1.encrypt_embedding(emb)
+    assert isinstance(token, str) and not token.startswith("plain:")
+    # second instance loads the same key file
+    c2 = EmbeddingCipher(str(tmp_path))
+    np.testing.assert_allclose(c2.decrypt_embedding(token), emb)
+    assert c2.decrypt_embedding("garbage") is None
