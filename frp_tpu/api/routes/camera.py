@@ -1,0 +1,350 @@
+"""Camera routes — reference ``backend/app/routes/camera.py`` contract
+(18 endpoints under /camera), re-cored on the batched device pipeline:
+the scan path (GET /camera/alerts, reference :284-391) grabs one frame per
+camera, letterboxes them into ONE device batch, runs the fused
+detect->embed->match graph, then feeds tracking + alert services — replacing
+the reference's per-camera thread pool (:277-306).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import time
+
+import numpy as np
+
+from frp_tpu.api.http import HTTPError, Request, Response, StreamResponse, json_response
+from frp_tpu.engine.batching import build_batch, unmap_results
+from frp_tpu.utils.logger import get_logger
+
+logger = get_logger("frp.api.camera")
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+def _jpeg(frame) -> bytes | None:
+    if cv2 is None or frame is None:
+        return None
+    ok, buf = cv2.imencode(".jpg", frame, [cv2.IMWRITE_JPEG_QUALITY, 80])
+    return buf.tobytes() if ok else None
+
+
+class CameraScanStats:
+    """Per-camera FPS/processing bookkeeping (reference camera.py:42-43,
+    :261-267, exposed at :655-701)."""
+
+    def __init__(self):
+        self.per_camera: dict[int, dict] = {}
+
+    def record(self, cam_id: int, dt: float, faces: int):
+        entry = self.per_camera.setdefault(
+            cam_id,
+            {"scans": 0, "total_time": 0.0, "faces_detected": 0, "last_scan": None},
+        )
+        entry["scans"] += 1
+        entry["total_time"] += dt
+        entry["faces_detected"] += faces
+        entry["last_scan"] = time.time()
+
+    def summary(self, cam_id: int | None = None) -> dict:
+        def fmt(cid, e):
+            return {
+                "camera_id": cid,
+                "scans": e["scans"],
+                "average_processing_time": round(e["total_time"] / max(e["scans"], 1), 4),
+                "effective_fps": round(e["scans"] / max(e["total_time"], 1e-9), 2),
+                "faces_detected": e["faces_detected"],
+                "last_scan": e["last_scan"],
+            }
+
+        if cam_id is not None:
+            e = self.per_camera.get(cam_id)
+            return fmt(cam_id, e) if e else {"camera_id": cam_id, "scans": 0}
+        return {str(c): fmt(c, e) for c, e in self.per_camera.items()}
+
+
+def register(router, ctx):
+    scan_stats = CameraScanStats()
+    scan_lock = asyncio.Lock()
+
+    def _get_camera(request: Request):
+        try:
+            cam_id = int(request.path_params["cam_id"])
+        except (KeyError, ValueError):
+            raise HTTPError(422, "camera id must be an integer")
+        cam = ctx.cameras.get(cam_id)
+        if cam is None:
+            raise HTTPError(404, f"camera {cam_id} not found")
+        return cam
+
+    # -- scan core (shared by /alerts and the stream loop) -------------------
+    def run_scan(threshold: float, frame_skip: int, max_faces: int) -> dict:
+        t0 = time.perf_counter()
+        cams = ctx.cameras.all()
+        frames: dict[int, np.ndarray | None] = {}
+        for cam in cams:
+            frame = None
+            for _ in range(max(1, frame_skip)):  # read+discard (camera.py:202-209)
+                ok, frame = cam.read()
+                if not ok:
+                    frame = None
+                    break
+            frames[cam.id] = frame
+        if not frames:
+            return {"alerts": [], "detections": [], "scanned": 0, "processing_time": 0.0}
+
+        batch, meta = build_batch(frames, ctx.cfg.det_size)
+        out = ctx.engine.process_frames(batch, tolerance=threshold)
+        per_camera = unmap_results(out, meta)
+
+        detections = []
+        new_alerts = []
+        gallery = ctx.engine.gallery
+        for cam_result in per_camera:
+            cam_id = cam_result["camera_id"]
+            faces = cam_result["faces"][:max_faces]
+            scan_stats.record(cam_id, out["processing_time"] / max(len(frames), 1), len(faces))
+            for face in faces:
+                if not face["is_match"]:
+                    continue
+                target = gallery.name_of(face["best_idx"])
+                if target is None:
+                    continue
+                distance = face["best_distance"]
+                rec = ctx.tracking.record_detection(target, cam_id, distance)
+                detection = {
+                    "target": target,
+                    "camera_id": cam_id,
+                    "distance": round(distance, 4),
+                    "box": [round(float(v), 1) for v in face["box"]],
+                    "score": round(face["score"], 4),
+                    "fake_prob": round(face.get("fake_prob", 0.0), 4),
+                    "recorded": rec["recorded"],
+                }
+                detections.append(detection)
+                if rec["recorded"]:
+                    alert = ctx.alerts.generate_alert(target, cam_id, distance)
+                    new_alerts.append(alert)
+        dt = time.perf_counter() - t0
+        return {
+            "alerts": new_alerts,
+            "detections": detections,
+            "scanned": len(frames),
+            "processing_time": round(dt, 4),
+            "device_time": round(out["processing_time"], 4),
+        }
+
+    ctx.run_scan = run_scan  # exposed for the background scan loop / bench
+
+    # -- endpoints ------------------------------------------------------------
+    @router.get("/camera/alerts")
+    async def camera_alerts(request: Request):
+        """The realtime scan (reference camera.py:284-391): detect + match on
+        all cameras, record tracking, fire alerts, return the full digest."""
+        threshold = request.query_float("threshold", ctx.cfg.face_tolerance)
+        frame_skip = request.query_int("frame_skip", ctx.cfg.frame_skip)
+        max_faces = request.query_int("max_faces", 10)
+        async with scan_lock:  # one batched scan at a time
+            scan = await asyncio.to_thread(run_scan, threshold, frame_skip, max_faces)
+        latest = ctx.alerts.get_latest_alert()
+        return json_response(
+            {
+                "alerts": ctx.alerts.get_alerts(limit=50),
+                "new_alerts": scan["alerts"],
+                "detections": scan["detections"],
+                "history": {
+                    t: list(h)[-10:] for t, h in ctx.alerts.alert_history.items()
+                },
+                "movement_log": ctx.tracking.get_all_movements(limit_per_person=10),
+                "latest_detection": latest,
+                "metadata": {
+                    "cameras_scanned": scan["scanned"],
+                    "threshold": threshold,
+                    "processing_time": scan["processing_time"],
+                    "device_time": scan.get("device_time"),
+                },
+            }
+        )
+
+    @router.get("/camera/{cam_id}/feed")
+    async def camera_feed(request: Request):
+        """MJPEG stream (reference camera.py:73-122)."""
+        cam = _get_camera(request)
+        fps = min(max(request.query_float("fps", 5.0), 0.2), 30.0)
+
+        async def gen():
+            boundary = b"--frame"
+            while True:
+                ok, frame = await asyncio.to_thread(cam.read)
+                if ok and frame is not None:
+                    jpeg = _jpeg(frame)
+                    if jpeg:
+                        yield (
+                            boundary
+                            + b"\r\nContent-Type: image/jpeg\r\nContent-Length: "
+                            + str(len(jpeg)).encode()
+                            + b"\r\n\r\n"
+                            + jpeg
+                            + b"\r\n"
+                        )
+                await asyncio.sleep(1.0 / fps)
+
+        return StreamResponse(
+            gen(), "multipart/x-mixed-replace; boundary=frame"
+        )
+
+    @router.get("/camera/{cam_id}/snapshot")
+    async def camera_snapshot(request: Request):
+        """Single JPEG (reference camera.py:127-166), cached."""
+        cam = _get_camera(request)
+        key = f"cam:{cam.id}"
+        cached = ctx.thumbnails.get(key)
+        if cached is not None and not request.query_bool("fresh"):
+            return Response(cached, 200, "image/jpeg", {"X-Cache": "hit"})
+        ok, frame = await asyncio.to_thread(cam.read)
+        if not ok or frame is None:
+            raise HTTPError(503, f"camera {cam.id} unavailable")
+        jpeg = _jpeg(frame)
+        if jpeg is None:
+            raise HTTPError(500, "encode failed")
+        ctx.thumbnails.set(key, jpeg)
+        return Response(jpeg, 200, "image/jpeg", {"X-Cache": "miss"})
+
+    @router.get("/camera/stats")
+    async def camera_stats(request: Request):
+        return json_response(
+            {
+                "tracking": ctx.tracking.get_statistics(),
+                "alerts": ctx.alerts.get_statistics(),
+                "engine": ctx.engine.metrics.as_dict(),
+                "cameras": {str(c.id): c.info() for c in ctx.cameras.all()},
+            }
+        )
+
+    @router.get("/camera/movement/{person}")
+    async def movement(request: Request):
+        person = request.path_params["person"]
+        return json_response(
+            {
+                "person": person,
+                "movements": ctx.tracking.get_movement_history(person),
+                "path": ctx.tracking.get_movement_path(person),
+                "current_location": ctx.tracking.get_current_locations().get(person),
+                "predicted_trajectory": ctx.tracking.get_predicted_trajectory(person),
+            }
+        )
+
+    @router.get("/camera/analyze/{person}")
+    async def analyze(request: Request):
+        person = request.path_params["person"]
+        return json_response(ctx.tracking.detect_suspicious_patterns(person))
+
+    @router.get("/camera/list")
+    async def camera_list(request: Request):
+        return json_response({"cameras": [c.info() for c in ctx.cameras.all()]})
+
+    @router.get("/camera/{cam_id}/info")
+    async def camera_info(request: Request):
+        return json_response(_get_camera(request).info())
+
+    @router.post("/camera/add")
+    async def camera_add(request: Request):
+        body = request.json() or {}
+        if "id" not in body:
+            raise HTTPError(422, "'id' is required")
+        try:
+            cam = ctx.cameras.add(
+                int(body["id"]),
+                body.get("name", f"Camera {body['id']}"),
+                tuple(body.get("geo", (0.0, 0.0))),
+                body.get("source", "synthetic"),
+            )
+        except ValueError as e:
+            raise HTTPError(409, str(e))
+        ctx.refresh_camera_metadata()
+        return json_response({"success": True, "camera": cam.info()}, 201)
+
+    @router.patch("/camera/{cam_id}")
+    async def camera_patch(request: Request):
+        cam = _get_camera(request)
+        body = request.json() or {}
+        ctx.cameras.update(
+            cam.id,
+            name=body.get("name"),
+            geo=tuple(body["geo"]) if "geo" in body else None,
+            source=body.get("source"),
+        )
+        ctx.refresh_camera_metadata()
+        return json_response({"success": True, "camera": cam.info()})
+
+    @router.delete("/camera/{cam_id}")
+    async def camera_delete(request: Request):
+        cam = _get_camera(request)
+        ctx.cameras.remove(cam.id)
+        ctx.refresh_camera_metadata()
+        return json_response({"success": True, "deleted": cam.id})
+
+    @router.post("/camera/{cam_id}/restart")
+    async def camera_restart(request: Request):
+        cam = _get_camera(request)
+        ok = await asyncio.to_thread(cam.restart)
+        return json_response({"success": ok, "camera": cam.info()})
+
+    @router.post("/camera/restart/all")
+    async def camera_restart_all(request: Request):
+        results = {}
+        for cam in ctx.cameras.all():
+            results[str(cam.id)] = await asyncio.to_thread(cam.restart)
+        return json_response({"success": True, "results": results})
+
+    @router.get("/camera/{cam_id}/performance")
+    async def camera_performance(request: Request):
+        cam = _get_camera(request)
+        return json_response({**scan_stats.summary(cam.id), "camera": cam.info()})
+
+    @router.get("/camera/performance")
+    async def global_performance(request: Request):
+        return json_response(
+            {"per_camera": scan_stats.summary(), "engine": ctx.engine.metrics.as_dict()}
+        )
+
+    @router.post("/camera/performance/clear")
+    async def clear_performance(request: Request):
+        scan_stats.per_camera.clear()
+        return json_response({"success": True})
+
+    @router.get("/camera/health")
+    async def camera_health(request: Request):
+        """Fleet health with live read probes (reference camera.py:706-744)."""
+        results = await asyncio.to_thread(ctx.health.probe_all)
+        healthy = sum(1 for r in results.values() if r.get("healthy"))
+        return json_response(
+            {
+                "status": "healthy" if healthy == len(results) else "degraded",
+                "cameras_total": len(results),
+                "cameras_healthy": healthy,
+                "cameras": {str(k): v for k, v in results.items()},
+            }
+        )
+
+    @router.post("/camera/test")
+    async def camera_test(request: Request):
+        """Connection test for a source spec without registering it
+        (reference camera.py:800-824)."""
+        body = request.json() or {}
+        spec = body.get("source", "synthetic")
+        from frp_tpu.platform.state import make_source
+
+        def probe():
+            src = make_source(spec)
+            try:
+                ok, frame = src.read()
+                return ok, None if frame is None else list(frame.shape)
+            finally:
+                src.release()
+
+        ok, shape = await asyncio.to_thread(probe)
+        return json_response({"success": ok, "frame_shape": shape, "source": str(spec)})

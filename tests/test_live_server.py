@@ -1,0 +1,198 @@
+"""Live-socket integration: boots the real HTTPServer on an ephemeral port and
+exercises HTTP parsing, JSON + multipart requests, CORS headers, streaming,
+and the full WebSocket/Engine.IO/Socket.IO handshake + event push."""
+
+import asyncio
+import base64
+import json
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from frp_tpu.api.http import HTTPServer
+from frp_tpu.api.main import build_app
+from frp_tpu.api.socketio import read_frame
+from frp_tpu.config import load_config
+from frp_tpu.platform.context import AppContext
+from tests.fakes import FakeEngine
+
+
+@pytest.fixture()
+def server_port(tmp_path):
+    """Run the server in a dedicated event loop thread; yield the port."""
+    import threading
+
+    cfg = load_config(
+        data_dir=str(tmp_path / "data"), log_dir=str(tmp_path / "logs"),
+        min_face_quality=0.0,
+    )
+    ctx = AppContext(cfg=cfg, engine=FakeEngine(), camera_configs=[
+        {"id": 0, "name": "Cam A", "source": "synthetic:64x48"},
+    ])
+    router, sio, ctx = build_app(ctx)
+    server = HTTPServer(router, ws_handler=sio.handle_upgrade)
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+    port_holder = {}
+
+    def run():
+        asyncio.set_event_loop(loop)
+
+        async def boot():
+            s = await server.start("127.0.0.1", 0)
+            port_holder["port"] = s.sockets[0].getsockname()[1]
+            started.set()
+
+        loop.run_until_complete(boot())
+        loop.run_forever()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    assert started.wait(10)
+    yield port_holder["port"], ctx
+    loop.call_soon_threadsafe(loop.stop)
+    ctx.shutdown()
+
+
+async def _http(port, method, path, headers=None, body=b""):
+    reader, writer = await asyncio.open_connection("127.0.0.1", port)
+    headers = dict(headers or {})
+    headers.setdefault("Host", "localhost")
+    if body:
+        headers["Content-Length"] = str(len(body))
+    head = f"{method} {path} HTTP/1.1\r\n" + "".join(
+        f"{k}: {v}\r\n" for k, v in headers.items()
+    ) + "\r\n"
+    writer.write(head.encode() + body)
+    await writer.drain()
+    status_line = await reader.readline()
+    status = int(status_line.split()[1])
+    resp_headers = {}
+    while True:
+        line = await reader.readline()
+        if line in (b"\r\n", b"\n", b""):
+            break
+        k, v = line.decode().split(":", 1)
+        resp_headers[k.strip().lower()] = v.strip()
+    length = int(resp_headers.get("content-length", 0))
+    data = await reader.readexactly(length) if length else b""
+    writer.close()
+    return status, resp_headers, data
+
+
+def test_http_get_root(server_port):
+    port, ctx = server_port
+
+    async def go():
+        return await _http(port, "GET", "/")
+
+    status, headers, body = asyncio.run(go())
+    assert status == 200
+    assert headers["access-control-allow-origin"] == "*"
+    data = json.loads(body)
+    assert data["status"] == "running"
+
+
+def test_http_multipart_upload_over_socket(server_port):
+    port, ctx = server_port
+    import cv2
+
+    img = np.full((48, 48, 3), 200, np.uint8)
+    _, jpeg = cv2.imencode(".jpg", img)
+    boundary = "livetestboundary"
+    body = (
+        f'--{boundary}\r\nContent-Disposition: form-data; name="target"\r\n\r\nlive_person\r\n'
+        f'--{boundary}\r\nContent-Disposition: form-data; name="file"; '
+        f'filename="p.jpg"\r\nContent-Type: image/jpeg\r\n\r\n'
+    ).encode() + jpeg.tobytes() + f"\r\n--{boundary}--\r\n".encode()
+
+    async def go():
+        return await _http(
+            port, "POST", "/face/upload",
+            headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
+            body=body,
+        )
+
+    status, _, resp = asyncio.run(go())
+    assert status == 201, resp
+    assert json.loads(resp)["target"] == "live_person"
+    assert "live_person" in ctx.face_service.get_all_targets()
+
+
+def test_http_404_and_keepalive(server_port):
+    port, ctx = server_port
+
+    async def go():
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        for i in range(2):  # two requests on one connection
+            writer.write(b"GET /nope HTTP/1.1\r\nHost: x\r\n\r\n")
+            await writer.drain()
+            line = await reader.readline()
+            assert b"404" in line
+            while True:
+                h = await reader.readline()
+                if h in (b"\r\n", b""):
+                    break
+                if h.lower().startswith(b"content-length"):
+                    n = int(h.split(b":")[1])
+            await reader.readexactly(n)
+        writer.close()
+
+    asyncio.run(go())
+
+
+def test_socketio_handshake_and_event_push(server_port):
+    port, ctx = server_port
+
+    async def go():
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        key = base64.b64encode(os.urandom(16)).decode()
+        writer.write(
+            (
+                f"GET /socket.io/?EIO=4&transport=websocket HTTP/1.1\r\n"
+                f"Host: localhost\r\nUpgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+            ).encode()
+        )
+        await writer.drain()
+        line = await reader.readline()
+        assert b"101" in line
+        while (await reader.readline()) not in (b"\r\n", b""):
+            pass
+
+        # engine.io open packet
+        op, payload = await asyncio.wait_for(read_frame(reader), 5)
+        text = payload.decode()
+        assert text.startswith("0")
+        sid = json.loads(text[1:])["sid"]
+        assert sid
+
+        # socket.io connect (client->server frames must be masked)
+        def client_frame(data: bytes) -> bytes:
+            mask = os.urandom(4)
+            masked = bytes(b ^ mask[i % 4] for i, b in enumerate(data))
+            header = bytes([0x81])
+            n = len(data)
+            assert n < 126
+            return header + bytes([0x80 | n]) + mask + masked
+
+        writer.write(client_frame(b"40"))
+        await writer.drain()
+        op, payload = await asyncio.wait_for(read_frame(reader), 5)
+        assert payload.decode().startswith("40")
+
+        # platform event -> pushed as 42["new_alert", ...]
+        ctx.events.emit("new_alert", {"target": "x", "priority": "high"})
+        while True:
+            frame = await asyncio.wait_for(read_frame(reader), 5)
+            op, payload = frame
+            text = payload.decode()
+            if text.startswith("42"):
+                event, data = json.loads(text[2:])
+                assert event == "new_alert" and data["target"] == "x"
+                break
+        writer.close()
+
+    asyncio.run(go())
