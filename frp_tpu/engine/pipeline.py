@@ -54,9 +54,14 @@ from frp_tpu.ops.align import (
 )
 from frp_tpu.ops.anchors import generate_anchors
 from frp_tpu.ops.decode import decode_boxes, decode_landmarks
-from frp_tpu.ops.image import normalize_face, normalize_imagenet, preprocess_frames
+from frp_tpu.ops.image import (
+    normalize_face,
+    normalize_imagenet,
+    preprocess_frames,
+    yuv420_to_rgb,
+)
 from frp_tpu.ops.matching import gallery_match
-from frp_tpu.ops.nms import nms_padded
+from frp_tpu.ops.nms import nms_padded_batched
 from frp_tpu.ops.quality import assess_quality_batch
 
 
@@ -72,16 +77,19 @@ def build_pipeline(
     with_spoof: bool = True,
     with_quality: bool = True,
     compute_dtype: str = "bfloat16",
-    spoof_size: int = 224,
+    spoof_size: int = 112,
 ):
     """Build the pure pipeline function (params, frames, gallery) -> results.
 
     The returned function is jit/pjit-able; all knobs above are baked in as
-    static trace-time constants.
+    static trace-time constants. ``priors`` must be passed as a device array
+    argument — embedding the 16800x4 anchor table as a trace-time constant
+    permanently degrades the serving runtime's dispatch path (measured: a
+    single big-constant executable flips every later dispatch in the process
+    from ~0.02 ms to ~2.5-50 ms on v5e).
     """
-    priors = jnp.asarray(generate_anchors(det_size))
 
-    def pipeline(params, frames, gallery, gallery_valid):
+    def pipeline(params, frames, gallery, gallery_valid, priors):
         b, h, w, _ = frames.shape
         m = max_faces
 
@@ -97,14 +105,15 @@ def build_pipeline(
         boxes_det = decode_boxes(det["loc"], priors, float(det_size))  # [B, A, 4]
         ldm_det = decode_landmarks(det["ldm"], priors, float(det_size))
 
-        nms_fn = partial(
-            nms_padded,
+        dets = nms_padded_batched(
+            boxes_det,
+            det["score"],
+            ldm_det,
             pre_topk=pre_nms_topk,
             max_out=m,
             conf_thresh=conf_thresh,
             iou_thresh=nms_thresh,
         )
-        dets = jax.vmap(nms_fn)(boxes_det, det["score"], ldm_det)
         valid = dets["valid"]  # [B, M]
         scores = dets["scores"]
 
@@ -121,6 +130,10 @@ def build_pipeline(
         mats = similarity_transform(
             ldm.reshape(b, m, 5, 2), jnp.asarray(ARCFACE_TEMPLATE_112)
         )  # [B, M, 2, 3]
+        # padded slots have collapsed landmarks -> degenerate transforms;
+        # replace with identity so downstream coords stay benign
+        ident = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
+        mats = jnp.where(valid[..., None, None], mats, ident)
         crops = warp_crops_batched(frames_f, mats, out_size=112)  # [B, M, 112², 3]
 
         # --- embed ---
@@ -151,8 +164,19 @@ def build_pipeline(
 
         # --- spoof (co-batched with recognition, reference config 4) ---
         if with_spoof:
-            smats = bbox_crop_matrices(boxes, spoof_size)
-            scrops = warp_crops_batched(frames_f, smats, out_size=spoof_size)
+            # Classify the aligned 112 crops already gathered for embedding
+            # instead of re-gathering 224x224 bbox crops from the frames: the
+            # second full-frame gather pass measured ~230 ms/batch on v5e —
+            # 80% of total pipeline time. MobileNetV3 global-pools, so any
+            # input size works; spoof_size > 112 upsamples densely (cheap,
+            # fusible) when a caller wants reference-style 224 inputs.
+            scrops = crops
+            if spoof_size != 112:
+                scrops = jax.image.resize(
+                    crops.reshape(b * m, 112, 112, 3),
+                    (b * m, spoof_size, spoof_size, 3),
+                    method="bilinear",
+                ).reshape(b, m, spoof_size, spoof_size, 3)
             sin = normalize_imagenet(scrops.reshape(b * m, spoof_size, spoof_size, 3))
             logits = mobilenetv3_forward(
                 params["spoof"], sin.astype(jnp.dtype(compute_dtype))
@@ -174,6 +198,137 @@ def build_pipeline(
         return out
 
     return pipeline
+
+
+def build_stages(
+    *,
+    det_size: int = 640,
+    max_faces: int = 16,
+    pre_nms_topk: int = 256,
+    conf_thresh: float = 0.5,
+    nms_thresh: float = 0.4,
+    tolerance: float = 0.6,
+    top_k: int = 5,
+    with_spoof: bool = True,
+    with_quality: bool = True,
+    compute_dtype: str = "bfloat16",
+    spoof_size: int = 112,
+):
+    """The same pipeline as ``build_pipeline`` split into four chained jitted
+    stages (detect -> crop -> embed -> match).
+
+    Why not one fused program: on the v5e serving runtime, executables beyond
+    the device program cache (~8 MB serialized) are re-shipped per dispatch —
+    the fused 8.5 MB pipeline costs ~270 ms/batch while the same math as four
+    1-3 MB resident programs dispatches in ~1 ms total (measured; see
+    bench.py). Intermediates stay on device between stages, so the split
+    costs no host traffic — only three extra dispatches. ``priors`` is an
+    argument (not a baked constant) for the same reason documented on
+    build_pipeline: big-constant executables poison the dispatch path.
+    """
+    cdtype = jnp.dtype(compute_dtype)
+
+    def detect_stage(params, frames, priors):
+        b, h, w, _ = frames.shape
+        if h == det_size and w == det_size:
+            x = ((frames.astype(jnp.float32) - 127.5) / 128.0).astype(cdtype)
+            scale = jnp.ones((b, 2), jnp.float32)
+        else:
+            x, scale = preprocess_frames(frames, det_size, compute_dtype)
+        det = retinaface_forward(params, x)
+        boxes_det = decode_boxes(det["loc"], priors, float(det_size))
+        ldm_det = decode_landmarks(det["ldm"], priors, float(det_size))
+        dets = nms_padded_batched(
+            boxes_det,
+            det["score"],
+            ldm_det,
+            pre_topk=pre_nms_topk,
+            max_out=max_faces,
+            conf_thresh=conf_thresh,
+            iou_thresh=nms_thresh,
+        )
+        sxy = scale[:, None, :]
+        boxes = dets["boxes"] * jnp.concatenate([sxy, sxy], axis=-1)
+        b_, m_ = dets["valid"].shape
+        ldm = (
+            dets["landmarks"].reshape(b_, m_, 5, 2) * sxy[:, :, None, :]
+        ).reshape(b_, m_, 10)
+        return {
+            "boxes": boxes,
+            "scores": dets["scores"],
+            "landmarks": ldm,
+            "valid": dets["valid"],
+            "count": jnp.sum(dets["valid"].astype(jnp.int32), axis=1),
+        }
+
+    def crop_stage(frames, dets):
+        b, h, w, _ = frames.shape
+        m = dets["valid"].shape[1]
+        frames_f = frames.astype(jnp.float32)
+        mats = similarity_transform(
+            dets["landmarks"].reshape(b, m, 5, 2), jnp.asarray(ARCFACE_TEMPLATE_112)
+        )
+        ident = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
+        mats = jnp.where(dets["valid"][..., None, None], mats, ident)
+        crops = warp_crops_batched(frames_f, mats, out_size=112)
+        out = {"crops": crops}
+        if with_quality:
+            q = assess_quality_batch(
+                crops.reshape(b * m, 112, 112, 3),
+                dets["boxes"].reshape(b * m, 4),
+                (h, w),
+                dets["valid"].reshape(-1),
+            )
+            out["quality"] = q["score"].reshape(b, m)
+            out["blur_score"] = q["blur_score"].reshape(b, m)
+        return out
+
+    def embed_stage(params, crops, valid):
+        b, m = crops.shape[0], crops.shape[1]
+        flat = crops.reshape(b * m, 112, 112, 3)
+        emb_in = normalize_face(flat).astype(cdtype)
+        emb = mobilefacenet_forward(params["embedder"], emb_in)
+        emb = jnp.where(valid.reshape(-1, 1), emb, 0.0)
+        out = {"embeddings_flat": emb}
+        if with_spoof:
+            scrops = flat
+            if spoof_size != 112:
+                scrops = jax.image.resize(
+                    flat, (b * m, spoof_size, spoof_size, 3), method="bilinear"
+                )
+            sin = normalize_imagenet(scrops).astype(cdtype)
+            logits = mobilenetv3_forward(params["spoof"], sin)
+            fake = jax.nn.softmax(logits, axis=-1)[:, 1].reshape(b, m)
+            out["fake_prob"] = jnp.where(valid, fake, 0.0)
+        return out
+
+    def match_stage(emb_flat, valid, gallery, gallery_valid, tol):
+        b, m = valid.shape
+        match = gallery_match(
+            emb_flat, gallery, gallery_valid, tolerance=tol, top_k=top_k
+        )
+        return {
+            "embeddings": emb_flat.reshape(b, m, -1),
+            "best_idx": match["best_idx"].reshape(b, m),
+            "best_distance": jnp.where(
+                valid, match["best_distance"].reshape(b, m), jnp.inf
+            ),
+            "is_match": jnp.logical_and(match["is_match"].reshape(b, m), valid),
+            "topk_idx": match["topk_idx"].reshape(b, m, -1),
+            "topk_distance": match["topk_distance"].reshape(b, m, -1),
+        }
+
+    def ingest_stage(yuv):
+        # I420 -> RGB uint8 once; detect + crop reuse the device-resident RGB
+        return yuv420_to_rgb(yuv).astype(jnp.uint8)
+
+    return {
+        "ingest": jax.jit(ingest_stage),
+        "detect": jax.jit(detect_stage),
+        "crop": jax.jit(crop_stage),
+        "embed": jax.jit(embed_stage),
+        "match": jax.jit(match_stage),
+    }
 
 
 @dataclass
@@ -229,51 +384,72 @@ class RecognitionEngine:
         self.gallery = DeviceGallery(embed_dim=self.cfg.embed_dim)
         self.metrics = EngineMetrics()
         self._lock = threading.Lock()
-        self._jitted: dict = {}
+        self._priors = jax.device_put(generate_anchors(self.cfg.det_size))
+        self._stages = build_stages(
+            det_size=self.cfg.det_size,
+            max_faces=self.cfg.max_faces_per_frame,
+            pre_nms_topk=self.cfg.pre_nms_topk,
+            conf_thresh=self.cfg.det_conf_threshold,
+            nms_thresh=self.cfg.det_nms_threshold,
+            with_spoof=self.with_spoof,
+            compute_dtype=self.cfg.compute_dtype,
+        )
 
-    # -- compilation management -------------------------------------------
-    def _get_fn(self, batch: int, h: int, w: int, tolerance: float):
-        key = (batch, h, w, self.gallery.capacity, round(tolerance, 6))
-        fn = self._jitted.get(key)
-        if fn is None:
-            pipeline = build_pipeline(
-                det_size=self.cfg.det_size,
-                max_faces=self.cfg.max_faces_per_frame,
-                pre_nms_topk=self.cfg.pre_nms_topk,
-                conf_thresh=self.cfg.det_conf_threshold,
-                nms_thresh=self.cfg.det_nms_threshold,
-                tolerance=tolerance,
-                with_spoof=self.with_spoof,
-                compute_dtype=self.cfg.compute_dtype,
-            )
-            if self.mesh is not None:
-                data = NamedSharding(self.mesh, P("data"))
-                repl = NamedSharding(self.mesh, P())
-                fn = jax.jit(
-                    pipeline,
-                    in_shardings=(repl, data, repl, repl),
-                    out_shardings=data,
-                )
-            else:
-                fn = jax.jit(pipeline)
-            self._jitted[key] = fn
-        return fn
+    # -- staged dispatch ------------------------------------------------
+    def _run_stages(self, frames_dev, tolerance: float, fmt: str = "rgb"):
+        """Chain the four device-resident stages; returns the device-side
+        result dict (all leaves still on device, fetch with jax.device_get).
+        Sharded variant: when a mesh is set, the frame batch is placed with a
+        'data' NamedSharding before dispatch and every stage partitions over
+        it automatically (all gathers are frame-local, see build_stages)."""
+        gal, gal_valid = self.gallery.device_arrays()
+        if fmt == "yuv420":
+            frames_dev = self._stages["ingest"](frames_dev)
+        dets = self._stages["detect"](
+            self.params["detector"], frames_dev, self._priors
+        )
+        cropped = self._stages["crop"](frames_dev, dets)
+        emb = self._stages["embed"](
+            {"embedder": self.params["embedder"], "spoof": self.params["spoof"]},
+            cropped["crops"],
+            dets["valid"],
+        )
+        matched = self._stages["match"](
+            emb["embeddings_flat"], dets["valid"], gal, gal_valid,
+            float(tolerance),  # python float: traced weak scalar, no eager op
+        )
+        out = {
+            "boxes": dets["boxes"],
+            "scores": dets["scores"],
+            "landmarks": dets["landmarks"],
+            "valid": dets["valid"],
+            "count": dets["count"],
+            **{k: v for k, v in cropped.items() if k != "crops"},
+            **{k: v for k, v in emb.items() if k != "embeddings_flat"},
+            **matched,
+        }
+        return out
 
     # -- main entry ---------------------------------------------------------
-    def process_frames(self, frames: np.ndarray, tolerance: float | None = None):
-        """frames: [B, H, W, 3] uint8 RGB. Returns host-side result dict of
-        numpy arrays (padded shapes + masks)."""
+    def process_frames(
+        self,
+        frames: np.ndarray,
+        tolerance: float | None = None,
+        fmt: str = "rgb",
+    ):
+        """frames: [B, H, W, 3] uint8 RGB, or [B, H*3//2, W] uint8 I420 with
+        fmt="yuv420" (halves host->device traffic; see ops.image.yuv420_to_rgb).
+        Returns host-side result dict of numpy arrays (padded shapes + masks)."""
         import time
 
         tolerance = self.cfg.face_tolerance if tolerance is None else tolerance
         frames = np.ascontiguousarray(frames, dtype=np.uint8)
-        if frames.ndim == 3:
+        if frames.ndim == 3 and fmt == "rgb":
             frames = frames[None]
-        b, h, w, _ = frames.shape
-        gal, gal_valid = self.gallery.device_arrays()
-        fn = self._get_fn(b, h, w, tolerance)
+        b = frames.shape[0]
         t0 = time.perf_counter()
-        out = fn(self.params, jnp.asarray(frames), gal, gal_valid)
+        frames_dev = self._put_frames(frames)
+        out = self._run_stages(frames_dev, tolerance, fmt)
         # ONE batched fetch: per-leaf np.asarray costs a full host round-trip
         # per array (measured ~1 s/leaf through the TPU relay vs 0.1 ms for
         # a single device_get of the whole tree)
@@ -311,6 +487,11 @@ class RecognitionEngine:
             )
         return faces
 
+    def _put_frames(self, frames: np.ndarray):
+        if self.mesh is not None:
+            return jax.device_put(frames, NamedSharding(self.mesh, P("data")))
+        return jnp.asarray(frames)
+
     def warmup(self, batch: int, h: int | None = None, w: int | None = None):
         """Pre-compile for a frame geometry (startup, not first-request)."""
         h = h or self.cfg.det_size
@@ -319,18 +500,16 @@ class RecognitionEngine:
         self.process_frames(dummy)
 
     # -- async submission (overlaps h2d transfer + compute across batches) ---
-    def submit(self, frames: np.ndarray, tolerance: float | None = None):
+    def submit(self, frames: np.ndarray, tolerance: float | None = None, fmt: str = "rgb"):
         """Dispatch a batch without blocking; returns a handle for fetch().
         Used by the camera scan loop and bench to pipeline h2d transfer and
         device compute across consecutive batches."""
         tolerance = self.cfg.face_tolerance if tolerance is None else tolerance
         frames = np.ascontiguousarray(frames, dtype=np.uint8)
-        if frames.ndim == 3:
+        if frames.ndim == 3 and fmt == "rgb":
             frames = frames[None]
-        b, h, w, _ = frames.shape
-        gal, gal_valid = self.gallery.device_arrays()
-        fn = self._get_fn(b, h, w, tolerance)
-        return fn(self.params, jnp.asarray(frames), gal, gal_valid), b
+        b = frames.shape[0]
+        return self._run_stages(self._put_frames(frames), tolerance, fmt), b
 
     def fetch(self, handle):
         """Block on a submit() handle and return host-side results."""

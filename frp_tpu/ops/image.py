@@ -38,6 +38,33 @@ def preprocess_frames(
     return x, scale
 
 
+def yuv420_to_rgb(yuv: jnp.ndarray) -> jnp.ndarray:
+    """I420 planar frames -> RGB float32 (0..255), on device.
+
+    The host->HBM link is the serving bottleneck (~50-80 MB/s once the relay
+    leaves fast mode), so the host ships I420 (1.5 B/px, cv2 C++ conversion)
+    instead of RGB (3 B/px) and the device does the BT.601 reconstruction as
+    fused elementwise math.
+
+    Args:
+        yuv: [B, H*3//2, W] uint8 — standard I420 plane layout.
+    Returns [B, H, W, 3] float32 RGB.
+    """
+    b, h15, w = yuv.shape
+    h = (h15 * 2) // 3
+    y = yuv[:, :h, :].astype(jnp.float32)
+    quarter = h // 4
+    u = yuv[:, h : h + quarter, :].reshape(b, h // 2, w // 2).astype(jnp.float32)
+    v = yuv[:, h + quarter :, :].reshape(b, h // 2, w // 2).astype(jnp.float32)
+    # nearest 2x chroma upsample
+    u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2) - 128.0
+    v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2) - 128.0
+    r = y + 1.402 * v
+    g = y - 0.344136 * u - 0.714136 * v
+    bl = y + 1.772 * u
+    return jnp.clip(jnp.stack([r, g, bl], axis=-1), 0.0, 255.0)
+
+
 def normalize_imagenet(crops: jnp.ndarray) -> jnp.ndarray:
     """ImageNet normalization for the spoof classifier (reference
     ``deepfake_utils.py:114-119``). crops: [..., 3] in 0..255."""

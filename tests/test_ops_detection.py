@@ -139,3 +139,49 @@ def test_nms_empty_when_all_below_threshold():
     out = nms_padded(boxes, scores, ldm, pre_topk=10, max_out=4, conf_thresh=0.5)
     assert int(out["count"]) == 0
     assert not bool(np.any(np.asarray(out["valid"])))
+
+
+def test_nms_padded_batched_matches_single(rng):
+    from frp_tpu.ops.nms import nms_padded_batched
+
+    b, n = 3, 100
+    centers = rng.uniform(20, 600, size=(b, n, 2)).astype(np.float32)
+    sizes = rng.uniform(10, 60, size=(b, n, 1)).astype(np.float32)
+    boxes = np.concatenate([centers - sizes, centers + sizes], axis=2)
+    scores = rng.uniform(0, 1, size=(b, n)).astype(np.float32)
+    ldm = rng.normal(size=(b, n, 10)).astype(np.float32)
+    batched = nms_padded_batched(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(ldm),
+        pre_topk=64, max_out=16, conf_thresh=0.3, iou_thresh=0.4,
+        use_pallas=False,
+    )
+    for i in range(b):
+        single = nms_padded(
+            jnp.asarray(boxes[i]), jnp.asarray(scores[i]), jnp.asarray(ldm[i]),
+            pre_topk=64, max_out=16, conf_thresh=0.3, iou_thresh=0.4,
+        )
+        np.testing.assert_allclose(batched["scores"][i], single["scores"], rtol=1e-6)
+        np.testing.assert_array_equal(batched["valid"][i], single["valid"])
+        np.testing.assert_allclose(batched["boxes"][i], single["boxes"], rtol=1e-6)
+
+
+def test_nms_pallas_interpret_matches_xla(rng):
+    """The Pallas greedy-suppress kernel (interpret mode on CPU) must produce
+    the exact greedy keep mask."""
+    from frp_tpu.ops.nms import nms_padded_batched
+
+    b, n = 2, 80
+    centers = rng.uniform(20, 400, size=(b, n, 2)).astype(np.float32)
+    sizes = rng.uniform(10, 80, size=(b, n, 1)).astype(np.float32)
+    boxes = np.concatenate([centers - sizes, centers + sizes], axis=2)
+    scores = rng.uniform(0, 1, size=(b, n)).astype(np.float32)
+    ldm = np.zeros((b, n, 10), np.float32)
+    kw = dict(pre_topk=64, max_out=32, conf_thresh=0.3, iou_thresh=0.4)
+    xla = nms_padded_batched(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(ldm),
+        use_pallas=False, **kw)
+    pls = nms_padded_batched(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(ldm),
+        use_pallas=True, **kw)
+    np.testing.assert_array_equal(np.asarray(xla["valid"]), np.asarray(pls["valid"]))
+    np.testing.assert_allclose(np.asarray(xla["scores"]), np.asarray(pls["scores"]), rtol=1e-6)
