@@ -59,9 +59,11 @@ def yuv420_to_rgb(yuv: jnp.ndarray) -> jnp.ndarray:
     # nearest 2x chroma upsample
     u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2) - 128.0
     v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2) - 128.0
-    r = y + 1.402 * v
-    g = y - 0.344136 * u - 0.714136 * v
-    bl = y + 1.772 * u
+    # BT.601 studio swing (cv2's COLOR_BGR2YUV_I420 convention)
+    yl = 1.164 * (y - 16.0)
+    r = yl + 1.596 * v
+    g = yl - 0.392 * u - 0.813 * v
+    bl = yl + 2.017 * u
     return jnp.clip(jnp.stack([r, g, bl], axis=-1), 0.0, 255.0)
 
 

@@ -1,0 +1,134 @@
+"""Engine tests on CPU: staged pipeline shape/mask contract, fused==staged
+equivalence, YUV420 ingest fidelity, gallery integration."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from frp_tpu.config import load_config
+from frp_tpu.engine.gallery import DeviceGallery
+from frp_tpu.engine.pipeline import RecognitionEngine, build_pipeline, build_stages
+from frp_tpu.ops.anchors import generate_anchors
+from frp_tpu.ops.image import yuv420_to_rgb
+
+DET = 128  # small detector grid keeps CPU compiles quick
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = load_config(
+        det_size=DET, max_faces_per_frame=4, pre_nms_topk=64,
+        det_conf_threshold=0.3,
+    )
+    return RecognitionEngine(cfg, seed=0)
+
+
+def test_process_frames_contract(engine):
+    frames = np.random.default_rng(0).integers(0, 255, (2, DET, DET, 3), np.uint8)
+    out = engine.process_frames(frames)
+    b, m = 2, 4
+    assert out["boxes"].shape == (b, m, 4)
+    assert out["landmarks"].shape == (b, m, 10)
+    assert out["valid"].shape == (b, m)
+    assert out["embeddings"].shape == (b, m, 128)
+    assert out["fake_prob"].shape == (b, m)
+    assert out["quality"].shape == (b, m)
+    assert out["count"].shape == (b,)
+    # invalid slots zeroed / masked
+    inv = ~out["valid"]
+    assert np.all(out["boxes"][inv] == 0)
+    assert np.all(np.isinf(out["best_distance"][inv]))
+    assert not np.any(out["is_match"][inv])
+    # embeddings of valid faces are L2-normalized
+    if out["valid"].any():
+        norms = np.linalg.norm(out["embeddings"][out["valid"]], axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+    assert engine.metrics.total_frames >= 2
+
+
+def test_gallery_match_integration(engine):
+    frames = np.random.default_rng(1).integers(0, 255, (1, DET, DET, 3), np.uint8)
+    out1 = engine.process_frames(frames)
+    if not out1["valid"].any():
+        pytest.skip("untrained detector found no faces in noise")
+    i, j = np.argwhere(out1["valid"])[0]
+    emb = out1["embeddings"][i, j]
+    engine.gallery.add("someone", emb)
+    out2 = engine.process_frames(frames)
+    assert out2["is_match"][i, j]
+    assert engine.gallery.name_of(int(out2["best_idx"][i, j])) == "someone"
+    assert out2["best_distance"][i, j] < 0.1  # bf16 run-to-run jitter
+    engine.gallery.clear()
+
+
+def test_fused_equals_staged(engine):
+    """build_pipeline (one program) and build_stages (four) compute the same."""
+    frames = np.random.default_rng(2).integers(0, 255, (1, DET, DET, 3), np.uint8)
+    kw = dict(
+        det_size=DET, max_faces=4, pre_nms_topk=64,
+        conf_thresh=0.3, with_spoof=True,
+    )
+    priors = jax.device_put(generate_anchors(DET))
+    fused = jax.jit(build_pipeline(**kw))(
+        engine.params, jnp.asarray(frames), *engine.gallery.device_arrays(), priors
+    )
+    staged = engine._run_stages(jnp.asarray(frames), 0.6)
+    fused, staged = jax.device_get((fused, staged))
+    np.testing.assert_array_equal(fused["valid"], staged["valid"])
+    np.testing.assert_allclose(fused["boxes"], staged["boxes"], rtol=1e-4, atol=1e-3)
+    # bf16 op-fusion differences between the one-program and four-program
+    # builds move normalized embedding components by <1e-2
+    np.testing.assert_allclose(
+        fused["embeddings"], staged["embeddings"], atol=2e-2
+    )
+    np.testing.assert_allclose(fused["fake_prob"], staged["fake_prob"], atol=2e-2)
+
+
+def test_yuv420_roundtrip_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    # smooth image: chroma subsampling error stays small (random noise would
+    # measure the information lost to 4:2:0, not the converter)
+    yy, xx = np.mgrid[0:64, 0:64]
+    bgr = np.stack([yy * 2, xx * 2, (yy + xx)], axis=-1).astype(np.uint8)
+    i420 = cv2.cvtColor(bgr, cv2.COLOR_BGR2YUV_I420)  # [96, 64]
+    rgb_dev = np.asarray(yuv420_to_rgb(jnp.asarray(i420[None])))[0]
+    rgb_cv = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB).astype(np.float32)
+    err = np.abs(rgb_dev - rgb_cv)
+    assert np.median(err) < 4.0
+    assert np.mean(err) < 6.0
+
+
+def test_engine_yuv_input_mode(engine):
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(3)
+    bgr = rng.integers(0, 255, (2, DET, DET, 3), np.uint8)
+    yuv = np.stack([cv2.cvtColor(f, cv2.COLOR_BGR2YUV_I420) for f in bgr])
+    rgb = np.stack([cv2.cvtColor(f, cv2.COLOR_BGR2RGB) for f in bgr])
+    out_yuv = engine.process_frames(yuv, fmt="yuv420")
+    out_rgb = engine.process_frames(rgb)
+    # same shapes; detections close (not identical: chroma subsampling)
+    assert out_yuv["boxes"].shape == out_rgb["boxes"].shape
+    assert out_yuv["valid"].shape == out_rgb["valid"].shape
+
+
+def test_submit_fetch_pipeline(engine):
+    frames = np.random.default_rng(4).integers(0, 255, (1, DET, DET, 3), np.uint8)
+    handles = [engine.submit(frames) for _ in range(3)]
+    results = [engine.fetch(h) for h in handles]
+    assert all(r["boxes"].shape == (1, 4, 4) for r in results)
+
+
+def test_gallery_growth_and_swap_remove():
+    g = DeviceGallery(embed_dim=8, capacity=2)
+    for i in range(5):  # forces doubling growth
+        g.add(f"p{i}", np.full(8, i, np.float32))
+    assert len(g) == 5 and g.capacity >= 5
+    mat, names = g.host_arrays()
+    assert names == [f"p{i}" for i in range(5)]
+    g.remove("p1")  # swap-remove: p4 moves into slot 1
+    mat, names = g.host_arrays()
+    assert set(names) == {"p0", "p2", "p3", "p4"}
+    assert np.all(g.get("p4") == 4)
+    dev_mat, dev_valid = g.device_arrays()
+    assert int(np.asarray(dev_valid).sum()) == 4
