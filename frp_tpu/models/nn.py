@@ -67,6 +67,10 @@ def dense_init(rng, cin, cout) -> dict:
 # ---------------------------------------------------------------------------
 
 def conv(p: dict, x: jnp.ndarray, stride: int = 1, padding="SAME", groups: int = 1) -> jnp.ndarray:
+    # Output follows the input dtype. The TPU MXU accumulates bf16 x bf16 in
+    # f32 internally regardless; requesting preferred_element_type=f32 and
+    # down-casting breaks lax's conv transpose rule under autodiff (cotangent
+    # dtype mismatch), so we keep the conv dtype-uniform.
     w = p["w"].astype(x.dtype)
     return lax.conv_general_dilated(
         x,
@@ -75,8 +79,7 @@ def conv(p: dict, x: jnp.ndarray, stride: int = 1, padding="SAME", groups: int =
         padding=padding,
         feature_group_count=groups,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
 
 
 def batch_norm(p: dict, x: jnp.ndarray, train: bool = False, momentum: float = 0.9, eps: float = 1e-5):
@@ -119,10 +122,7 @@ def hsigmoid(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def dense(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    return (
-        jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
-        + p["b"]
-    ).astype(x.dtype)
+    return jnp.dot(x, p["w"].astype(x.dtype)) + p["b"].astype(x.dtype)
 
 
 def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:

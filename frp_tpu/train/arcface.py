@@ -1,0 +1,250 @@
+"""ArcFace training for the MobileFaceNet embedder, TPU-sharded.
+
+Design (scaling-book style):
+  * mesh axes: 'data' (batch) x 'model' (classifier classes).
+  * The ArcFace classifier matrix W [D, C] is the one tensor that grows with
+    the identity count (C can be millions in production face recognition), so
+    it is sharded over 'model'; per-shard logits need only a global max and a
+    global sum for the softmax normalizer — XLA inserts the two psums when it
+    partitions the cross-entropy (we express the math globally and constrain
+    shardings; no hand-written collectives needed on the forward/backward).
+  * Backbone params are replicated; batch is sharded over 'data'; gradients
+    all-reduce over 'data' automatically.
+  * BatchNorm runs in batch-stats mode per step; running stats are updated
+    from the (sharded) batch statistics — with the batch sharded over 'data'
+    each device computes stats on its shard; we accept shard-local BN stats
+    averaging (standard data-parallel BN) by psum-averaging via the same
+    automatic partitioning.
+
+ArcFace loss (standard): logits = s * cos(theta + m * onehot), margin m=0.5,
+scale s=64, embeddings and class weights L2-normalized.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from frp_tpu.models.mobilefacenet import init_mobilefacenet, mobilefacenet_forward
+from frp_tpu.models import nn as fnn
+from frp_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def arcface_logits(
+    emb: jnp.ndarray,
+    w: jnp.ndarray,
+    labels: jnp.ndarray,
+    margin: float = 0.5,
+    scale: float = 64.0,
+) -> jnp.ndarray:
+    """emb [B, D] (normalized), w [D, C] -> margined, scaled logits [B, C]."""
+    wn = w * jax.lax.rsqrt(jnp.maximum(jnp.sum(w * w, axis=0, keepdims=True), 1e-12))
+    cos = jnp.clip(
+        jnp.dot(emb, wn, preferred_element_type=jnp.float32), -1.0 + 1e-7, 1.0 - 1e-7
+    )
+    theta = jnp.arccos(cos)
+    onehot = jax.nn.one_hot(labels, w.shape[1], dtype=cos.dtype)
+    return scale * jnp.cos(theta + margin * onehot)
+
+
+def init_train_state(
+    num_classes: int,
+    embed_dim: int = 128,
+    seed: int = 0,
+    learning_rate: float = 0.1,
+    weight_decay: float = 5e-4,
+):
+    """Returns (state dict, optimizer). State leaves are host numpy (cheap to
+    build); they land on device with the right shardings at the first step."""
+    rng = np.random.default_rng(seed)
+    params = {
+        "backbone": init_mobilefacenet(seed, embed_dim=embed_dim),
+        "classifier": (
+            rng.normal(0, 0.01, size=(embed_dim, num_classes)).astype(np.float32)
+        ),
+    }
+    tx = optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.sgd(learning_rate, momentum=0.9),
+    )
+    opt_state = tx.init(params)
+    return {"params": params, "opt_state": opt_state, "step": np.int32(0)}, tx
+
+
+def _apply_bn_updates(backbone: dict, stats: dict) -> dict:
+    """Write train-mode BN stats back into the param tree (pure update)."""
+    new = jax.tree_util.tree_map(lambda x: x, backbone)  # shallow-ish copy
+
+    def set_path(root, path, value):
+        node = root
+        for key in path[:-1]:
+            node = node[key]
+        node[path[-1]] = value
+
+    for path, update in stats.items():
+        # paths like ("blocks", 3, "dw") or ("stem",) index conv_bn dicts
+        node = new
+        for key in path:
+            node = node[key]
+        node["bn"] = {**node["bn"], "mean": update["mean"], "var": update["var"]}
+    return new
+
+
+def make_train_step(
+    tx,
+    mesh: Mesh | None = None,
+    margin: float = 0.5,
+    scale: float = 64.0,
+    compute_dtype: str = "bfloat16",
+):
+    """Build the jitted train step. With a mesh, shards: batch over 'data',
+    classifier over 'model'; everything else replicated."""
+
+    def loss_fn(params, images, labels):
+        emb, bn_stats = mobilefacenet_forward(
+            params["backbone"], images.astype(jnp.dtype(compute_dtype)), train=True
+        )
+        logits = arcface_logits(emb, params["classifier"], labels, margin, scale)
+        loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+        acc = jnp.mean((jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32))
+        return loss, (acc, bn_stats)
+
+    def step(state, images, labels):
+        params = state["params"]
+        (loss, (acc, bn_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, images, labels
+        )
+        updates, new_opt = tx.update(grads, state["opt_state"], params)
+        new_params = optax.apply_updates(params, updates)
+        new_params["backbone"] = _apply_bn_updates(new_params["backbone"], bn_stats)
+        return (
+            {
+                "params": new_params,
+                "opt_state": new_opt,
+                "step": state["step"] + 1,
+            },
+            {"loss": loss, "accuracy": acc},
+        )
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    cls_sharding = NamedSharding(mesh, P(None, MODEL_AXIS))
+
+    def shard_tree(tree_proto):
+        def leaf_sharding(path, _):
+            if any(getattr(k, "key", None) == "classifier" for k in path):
+                return cls_sharding
+            return repl
+
+        return jax.tree_util.tree_map_with_path(leaf_sharding, tree_proto)
+
+    def state_shardings(state_proto):
+        return {
+            "params": shard_tree(state_proto["params"]),
+            "opt_state": jax.tree_util.tree_map(
+                lambda _: repl, state_proto["opt_state"]
+            ),
+            "step": repl,
+        }
+
+    def make(state_proto):
+        in_sh = (state_shardings(state_proto), data, data)
+        out_sh = (state_shardings(state_proto), repl)
+        return jax.jit(
+            step, in_shardings=in_sh, out_shardings=out_sh, donate_argnums=(0,)
+        )
+
+    return make
+
+
+class ArcFaceTrainer:
+    """Host-facing trainer: owns state, placement, and the FL delta contract.
+
+    ``weights_delta()`` exports {layer_name: array} diffs in the flat JSON
+    format the federated service's HTTP contract expects
+    (``federated.py:150-265``) — clients train locally then upload.
+    """
+
+    def __init__(
+        self,
+        num_classes: int,
+        embed_dim: int = 128,
+        mesh: Mesh | None = None,
+        seed: int = 0,
+        learning_rate: float = 0.1,
+        compute_dtype: str = "bfloat16",
+    ):
+        self.mesh = mesh
+        state, self.tx = init_train_state(
+            num_classes, embed_dim, seed, learning_rate
+        )
+        self._initial_backbone = jax.tree_util.tree_map(
+            np.copy, state["params"]["backbone"]
+        )
+        if mesh is None:
+            self.state = jax.device_put(state)
+            self._step = make_train_step(self.tx, None, compute_dtype=compute_dtype)
+        else:
+            maker = make_train_step(self.tx, mesh, compute_dtype=compute_dtype)
+            self._step = maker(state)
+            repl = NamedSharding(mesh, P())
+            cls_sh = NamedSharding(mesh, P(None, "model"))
+            placed_params = {
+                "backbone": jax.device_put(state["params"]["backbone"], repl),
+                "classifier": jax.device_put(state["params"]["classifier"], cls_sh),
+            }
+            self.state = {
+                "params": placed_params,
+                "opt_state": jax.device_put(state["opt_state"], repl),
+                "step": jax.device_put(state["step"], repl),
+            }
+        self.history: list[dict] = []
+
+    def _place_batch(self, images, labels):
+        if self.mesh is None:
+            return jnp.asarray(images), jnp.asarray(labels)
+        data = NamedSharding(self.mesh, P(DATA_AXIS))
+        return jax.device_put(images, data), jax.device_put(labels, data)
+
+    def train_step(self, images: np.ndarray, labels: np.ndarray) -> dict:
+        """images [B, 112, 112, 3] float (-1..1 normalized), labels [B] int."""
+        images, labels = self._place_batch(
+            np.asarray(images, np.float32), np.asarray(labels, np.int32)
+        )
+        self.state, metrics = self._step(self.state, images, labels)
+        metrics = jax.device_get(metrics)
+        entry = {k: float(v) for k, v in metrics.items()}
+        entry["step"] = int(jax.device_get(self.state["step"]))
+        self.history.append(entry)
+        return entry
+
+    def embedder_params(self):
+        return jax.device_get(self.state["params"]["backbone"])
+
+    def weights_delta(self) -> dict:
+        """Flat {name: delta array} vs initial backbone — the FL upload."""
+        current = self.embedder_params()
+        flat_now = _flatten_tree(current)
+        flat_init = _flatten_tree(self._initial_backbone)
+        return {k: (flat_now[k] - flat_init[k]) for k in flat_now}
+
+
+def _flatten_tree(tree, prefix="") -> dict:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten_tree(v, f"{prefix}{k}."))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten_tree(v, f"{prefix}{i}."))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out

@@ -15,6 +15,13 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 import jax
+
+# The TPU plugin's sitecustomize imports jax at interpreter startup, so env
+# mutations above don't reach an already-imported jax — force the backend via
+# config (effective until the first backend initialization).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,93 @@
+"""Training tests: ArcFace math, single-device step, and the dp x tp sharded
+step on the virtual 8-device CPU mesh (SURVEY.md section 4 item 4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from frp_tpu.ops.fedavg import validate_client_update
+from frp_tpu.parallel.mesh import make_mesh
+from frp_tpu.train.arcface import ArcFaceTrainer, arcface_logits
+
+
+def test_arcface_logits_margin_semantics():
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(4, 16)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    w = rng.normal(size=(16, 8)).astype(np.float32)
+    labels = jnp.asarray([0, 1, 2, 3])
+    with_margin = np.asarray(arcface_logits(jnp.asarray(emb), jnp.asarray(w), labels))
+    no_margin = np.asarray(
+        arcface_logits(jnp.asarray(emb), jnp.asarray(w), labels, margin=0.0)
+    )
+    # margin only penalizes the true-class logit
+    for i in range(4):
+        true = labels[i]
+        assert with_margin[i, true] < no_margin[i, true]
+        others = [c for c in range(8) if c != true]
+        np.testing.assert_allclose(
+            with_margin[i, others], no_margin[i, others], rtol=1e-5
+        )
+    # scale: all logits bounded by s
+    assert np.all(np.abs(with_margin) <= 64.0 + 1e-3)
+
+
+def _toy_batch(rng, b=8, classes=8):
+    images = rng.normal(0, 0.5, size=(b, 112, 112, 3)).astype(np.float32)
+    labels = rng.integers(0, classes, size=(b,)).astype(np.int32)
+    return images, labels
+
+
+def test_single_device_training_reduces_loss():
+    trainer = ArcFaceTrainer(num_classes=8, learning_rate=0.05, seed=0)
+    rng = np.random.default_rng(0)
+    images, labels = _toy_batch(rng)
+    losses = [trainer.train_step(images, labels)["loss"] for _ in range(5)]
+    assert losses[-1] < losses[0]  # memorizes a fixed batch
+    assert trainer.history[-1]["step"] == 5
+
+
+def test_sharded_training_on_mesh():
+    mesh = make_mesh(n_data=4, n_model=2)
+    assert mesh.devices.size == 8
+    trainer = ArcFaceTrainer(num_classes=16, mesh=mesh, learning_rate=0.05, seed=0)
+    rng = np.random.default_rng(1)
+    images, labels = _toy_batch(rng, b=8, classes=16)
+    m1 = trainer.train_step(images, labels)
+    m2 = trainer.train_step(images, labels)
+    assert np.isfinite(m1["loss"]) and np.isfinite(m2["loss"])
+    assert m2["loss"] < m1["loss"]
+    # classifier is sharded over the model axis
+    cls = trainer.state["params"]["classifier"]
+    spec = cls.sharding.spec
+    assert "model" in str(spec)
+
+
+def test_sharded_matches_single_device_step():
+    """One dp x tp step computes the same update as single-device (f32 so
+    bf16 partition-order noise doesn't mask real sharding bugs)."""
+    rng = np.random.default_rng(2)
+    images, labels = _toy_batch(rng, b=8, classes=16)
+    t1 = ArcFaceTrainer(num_classes=16, seed=3, learning_rate=0.1,
+                        compute_dtype="float32")
+    t2 = ArcFaceTrainer(num_classes=16, mesh=make_mesh(n_data=4, n_model=2),
+                        seed=3, learning_rate=0.1, compute_dtype="float32")
+    m1 = t1.train_step(images, labels)
+    m2 = t2.train_step(images, labels)
+    np.testing.assert_allclose(m1["loss"], m2["loss"], rtol=1e-4)
+    w1 = np.asarray(jax.device_get(t1.state["params"]["classifier"]))
+    w2 = np.asarray(jax.device_get(t2.state["params"]["classifier"]))
+    np.testing.assert_allclose(w1, w2, atol=1e-3)
+
+
+def test_weights_delta_feeds_federated_contract():
+    trainer = ArcFaceTrainer(num_classes=8, seed=0, learning_rate=0.05)
+    rng = np.random.default_rng(0)
+    images, labels = _toy_batch(rng)
+    trainer.train_step(images, labels)
+    delta = trainer.weights_delta()
+    assert len(delta) > 50  # every backbone tensor has a named delta
+    info = validate_client_update(delta)  # NaN/Inf-free, FL-uploadable
+    assert info["total_params"] > 5e5
+    assert any(v.any() for v in delta.values())  # training actually moved weights
