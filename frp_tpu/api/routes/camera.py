@@ -14,7 +14,7 @@ import time
 import numpy as np
 
 from frp_tpu.api.http import HTTPError, Request, Response, StreamResponse, json_response
-from frp_tpu.engine.batching import build_batch, unmap_results
+from frp_tpu.engine.batching import build_batch, build_batch_i420, unmap_results
 from frp_tpu.utils.logger import get_logger
 
 logger = get_logger("frp.api.camera")
@@ -96,8 +96,12 @@ def register(router, ctx):
         if not frames:
             return {"alerts": [], "detections": [], "scanned": 0, "processing_time": 0.0}
 
-        batch, meta = build_batch(frames, ctx.cfg.det_size)
-        out = ctx.engine.process_frames(batch, tolerance=threshold)
+        fmt = getattr(ctx.engine, "preferred_fmt", "rgb")
+        if fmt == "yuv420":
+            batch, meta = build_batch_i420(frames, ctx.cfg.det_size)
+        else:
+            batch, meta = build_batch(frames, ctx.cfg.det_size)
+        out = ctx.engine.process_frames(batch, tolerance=threshold, fmt=fmt)
         per_camera = unmap_results(out, meta)
 
         detections = []
@@ -328,6 +332,41 @@ def register(router, ctx):
                 "cameras_healthy": healthy,
                 "cameras": {str(k): v for k, v in results.items()},
             }
+        )
+
+    @router.post("/api/camera/ingest")
+    async def camera_ingest(request: Request):
+        """Frame ingest for push-mode cameras — the endpoint the reference's
+        mock_camera_worker POSTs to but the reference never implemented
+        (tools/mock_camera_worker.py:19-53; SURVEY.md defects list). Accepts
+        multipart 'file' (JPEG/PNG) + 'camera_id'; auto-registers a push
+        camera on first use."""
+        from frp_tpu.api.routes.face import decode_image
+        from frp_tpu.platform.state import PushSource
+
+        fields, files = request.form()
+        upload = files.get("file") or files.get("image") or files.get("frame")
+        if upload is None:
+            raise HTTPError(422, "multipart field 'file' is required")
+        try:
+            cam_id = int(fields.get("camera_id", fields.get("id", 0)))
+        except ValueError:
+            raise HTTPError(422, "'camera_id' must be an integer")
+        rgb = decode_image(upload.data)
+        bgr = np.ascontiguousarray(rgb[..., ::-1])
+        cam = ctx.cameras.get(cam_id)
+        if cam is None:
+            cam = ctx.cameras.add(
+                cam_id, fields.get("name", f"Push Camera {cam_id}"), source="push"
+            )
+            ctx.refresh_camera_metadata()
+        if not isinstance(cam.source, PushSource):
+            raise HTTPError(409, f"camera {cam_id} is not a push-mode camera")
+        cam.source.push(bgr)
+        cam.healthy = True
+        cam.last_seen = __import__("time").time()
+        return json_response(
+            {"success": True, "camera_id": cam_id, "frames_pushed": cam.source.pushed}
         )
 
     @router.post("/camera/test")

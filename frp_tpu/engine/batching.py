@@ -95,6 +95,58 @@ def build_batch(
     return batch, meta
 
 
+def build_batch_i420(
+    frames: dict, size: int, slots: int | None = None
+) -> tuple[np.ndarray, BatchMeta]:
+    """I420 variant of build_batch — halves the host->device bytes.
+
+    Path selection: cv2 (SIMD letterbox + cvtColor, fastest measured) ->
+    native framepack (fused C++ kernel, native/framepack.cpp) -> error.
+    Device side decodes with ops.image.yuv420_to_rgb (engine fmt="yuv420").
+    """
+    cam_ids = list(frames.keys())
+    b = slots or max(1, len(cam_ids))
+    batch = np.zeros((b, size * 3 // 2, size), np.uint8)
+    batch[:, size:, :] = 128  # empty slots = black (U=V=128)
+    batch[:, :size, :] = 16
+    meta = BatchMeta(
+        cam_ids=cam_ids + [None] * (b - len(cam_ids)),
+        scales=np.ones((b,), np.float32),
+        offsets=np.zeros((b, 2), np.float32),
+        frame_ok=np.zeros((b,), bool),
+        orig_hw=[None] * b,
+    )
+    live = [
+        (i, frames[c])
+        for i, c in enumerate(cam_ids[:b])
+        if frames[c] is not None and getattr(frames[c], "size", 0) > 0
+    ]
+    if not live:
+        return batch, meta
+    if cv2 is not None:
+        for i, frame in live:
+            boxed, s, (ox, oy) = letterbox(frame, size)
+            batch[i] = cv2.cvtColor(boxed, cv2.COLOR_BGR2YUV_I420)
+            meta.scales[i] = s
+            meta.offsets[i] = (ox, oy)
+            meta.frame_ok[i] = True
+            meta.orig_hw[i] = frame.shape[:2]
+        return batch, meta
+    from frp_tpu.utils.native import letterbox_i420_batch
+
+    packed = letterbox_i420_batch([f for _, f in live], size)
+    if packed is None:
+        raise RuntimeError("no I420 packer available (cv2 and native missing)")
+    out, scales, offsets = packed
+    for k, (i, frame) in enumerate(live):
+        batch[i] = out[k]
+        meta.scales[i] = scales[k]
+        meta.offsets[i] = offsets[k]
+        meta.frame_ok[i] = True
+        meta.orig_hw[i] = frame.shape[:2]
+    return batch, meta
+
+
 def unmap_results(out: dict, meta: BatchMeta) -> list[dict]:
     """Convert padded device results into per-camera detection lists with
     boxes/landmarks back in original frame pixels."""

@@ -371,6 +371,7 @@ class RecognitionEngine:
         self.cfg = cfg or get_config()
         self.mesh = mesh
         self.with_spoof = with_spoof
+        self.preferred_fmt = "yuv420"  # halves host->device frame bytes
         # device-resident params: a numpy pytree passed through jit would be
         # re-uploaded leaf-by-leaf on EVERY dispatch (measured ~5 ms/call on
         # v5e vs 0.2 ms with committed arrays)

@@ -80,6 +80,32 @@ class SyntheticSource(FrameSource):
         return True, frame
 
 
+class PushSource(FrameSource):
+    """Frames pushed over HTTP (the ingest endpoint) — realizes the
+    reference's mock-camera-worker flow whose target endpoint never existed
+    (tools/mock_camera_worker.py -> /api/camera/ingest; SURVEY.md defect)."""
+
+    def __init__(self):
+        self._frame = None
+        self._lock = threading.Lock()
+        self.pushed = 0
+
+    def push(self, frame) -> None:
+        with self._lock:
+            self._frame = frame
+            self.pushed += 1
+
+    def read(self):
+        with self._lock:
+            if self._frame is None:
+                return False, None
+            return True, self._frame.copy()
+
+    @property
+    def opened(self) -> bool:
+        return True
+
+
 class VideoFileSource(FrameSource):
     """Loops a video file (cv2)."""
 
@@ -144,6 +170,8 @@ def make_source(spec) -> FrameSource:
     if isinstance(spec, int):
         return DeviceSource(spec)
     if isinstance(spec, str):
+        if spec == "push":
+            return PushSource()
         if spec.startswith("synthetic"):
             if ":" in spec:
                 dims = spec.split(":", 1)[1]

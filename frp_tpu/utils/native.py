@@ -1,0 +1,112 @@
+"""ctypes bindings for the native C++ components (no pybind11 in the image).
+
+``framepack``: fused letterbox + BGR->I420 batch packer
+(native/framepack.cpp). Loads a prebuilt ``libframepack.so`` next to the
+source, builds it with g++ on first use when a toolchain is present, and
+reports unavailable otherwise — callers fall back to the cv2 path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from frp_tpu.utils.logger import get_logger
+
+logger = get_logger("frp.utils.native")
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libframepack.so")
+_SRC_PATH = os.path.join(_NATIVE_DIR, "framepack.cpp")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    if not os.path.exists(_SRC_PATH):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB_PATH, _SRC_PATH,
+             "-lpthread"],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError) as e:
+        logger.info("framepack build unavailable (%s); using cv2 path", e)
+        return False
+
+
+def get_framepack():
+    """Returns the loaded library handle or None."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.framepack_letterbox_i420.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int,
+            ]
+            lib.framepack_version.restype = ctypes.c_int
+            assert lib.framepack_version() == 1
+            _lib = lib
+        except (OSError, AssertionError) as e:
+            logger.info("framepack load failed (%s); using cv2 path", e)
+            _lib = None
+        return _lib
+
+
+def letterbox_i420_batch(
+    frames: list[np.ndarray], size: int, n_threads: int = 4
+):
+    """Fused native path: list of HxWx3 BGR uint8 -> ([N, size*3//2, size]
+    I420 uint8, scales [N], offsets [N, 2]). Returns None when the native
+    library is unavailable (caller falls back to cv2)."""
+    lib = get_framepack()
+    if lib is None or not frames:
+        return None
+    n = len(frames)
+    contiguous = [np.ascontiguousarray(f, dtype=np.uint8) for f in frames]
+    ptrs = (ctypes.c_void_p * n)(
+        *[f.ctypes.data_as(ctypes.c_void_p).value for f in contiguous]
+    )
+    heights = (ctypes.c_int * n)(*[f.shape[0] for f in contiguous])
+    widths = (ctypes.c_int * n)(*[f.shape[1] for f in contiguous])
+    out = np.empty((n, size * 3 // 2, size), np.uint8)
+    scales = np.empty((n,), np.float32)
+    offsets = np.empty((n, 2), np.float32)
+    lib.framepack_letterbox_i420(
+        ctypes.cast(ptrs, ctypes.POINTER(ctypes.c_void_p)),
+        heights,
+        widths,
+        n,
+        size,
+        out.ctypes.data_as(ctypes.c_void_p),
+        scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n_threads,
+    )
+    return out, scales, offsets

@@ -1,0 +1,138 @@
+#include <atomic>
+// framepack: fused letterbox-resize + BGR->I420 batch packer.
+//
+// The host side of the TPU pipeline must turn N camera frames (BGR, arbitrary
+// resolutions) into one [N, S*3/2, S] I420 batch every tick. Through Python +
+// cv2 that is two passes (resize, cvtColor) with an intermediate buffer per
+// frame; this kernel fuses them — each output pixel is produced once, straight
+// into the batch buffer — and parallelizes across frames with std::thread.
+// This is the platform's native data-loader stage (the reference delegates the
+// equivalent work to OpenCV inside its Python loops; SURVEY.md section 2.3).
+//
+// Layout contract (matches frp_tpu.engine.batching.letterbox + cv2 I420):
+//   * uniform scale s = min(S/w, S/h), centered, zero (black) padding;
+//     note black BGR encodes to Y=16, U=V=128 in studio-swing I420.
+//   * I420 planes: Y [S x S], U [S/2 x S/2], V [S/2 x S/2], stored as rows of
+//     width S (U and V each occupy S/4 rows).
+//   * BT.601 studio swing, same integer coefficients as OpenCV.
+//
+// Build: g++ -O2 -shared -fPIC -o libframepack.so framepack.cpp -lpthread
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+inline uint8_t clamp_u8(int v) {
+    return static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
+}
+
+// Bilinear sample of one channel from an HxW BGR frame (stride = 3*w).
+inline float sample(const uint8_t* frame, int h, int w, float y, float x, int c) {
+    x = std::max(0.0f, std::min(x, static_cast<float>(w - 1)));
+    y = std::max(0.0f, std::min(y, static_cast<float>(h - 1)));
+    const int x0 = static_cast<int>(x);
+    const int y0 = static_cast<int>(y);
+    const int x1 = std::min(x0 + 1, w - 1);
+    const int y1 = std::min(y0 + 1, h - 1);
+    const float wx = x - x0;
+    const float wy = y - y0;
+    const float p00 = frame[(y0 * w + x0) * 3 + c];
+    const float p01 = frame[(y0 * w + x1) * 3 + c];
+    const float p10 = frame[(y1 * w + x0) * 3 + c];
+    const float p11 = frame[(y1 * w + x1) * 3 + c];
+    return (p00 * (1 - wx) + p01 * wx) * (1 - wy) + (p10 * (1 - wx) + p11 * wx) * wy;
+}
+
+// BT.601 studio swing (OpenCV's integer formulation).
+inline void bgr_to_yuv(float b, float g, float r, uint8_t* y, uint8_t* u, uint8_t* v) {
+    *y = clamp_u8(static_cast<int>(0.257f * r + 0.504f * g + 0.098f * b + 16.5f));
+    if (u != nullptr) {
+        *u = clamp_u8(static_cast<int>(-0.148f * r - 0.291f * g + 0.439f * b + 128.5f));
+        *v = clamp_u8(static_cast<int>(0.439f * r - 0.368f * g - 0.071f * b + 128.5f));
+    }
+}
+
+void pack_one(const uint8_t* frame, int h, int w, int size, uint8_t* out,
+              float* scale, float* offsets) {
+    const float s = std::min(static_cast<float>(size) / w,
+                             static_cast<float>(size) / h);
+    const int nw = std::max(1, static_cast<int>(w * s + 0.5f));
+    const int nh = std::max(1, static_cast<int>(h * s + 0.5f));
+    const int ox = (size - nw) / 2;
+    const int oy = (size - nh) / 2;
+    *scale = s;
+    offsets[0] = static_cast<float>(ox);
+    offsets[1] = static_cast<float>(oy);
+
+    uint8_t* yplane = out;                       // size x size
+    uint8_t* uplane = out + size * size;         // (size/2)^2, rows of width size
+    uint8_t* vplane = uplane + size * size / 4;
+    // black padding: Y=16, U=V=128 (studio swing)
+    std::memset(yplane, 16, static_cast<size_t>(size) * size);
+    std::memset(uplane, 128, static_cast<size_t>(size) * size / 4);
+    std::memset(vplane, 128, static_cast<size_t>(size) * size / 4);
+
+    const float inv = 1.0f / s;
+    for (int yy = 0; yy < nh; ++yy) {
+        const float sy = (yy + 0.5f) * inv - 0.5f;
+        uint8_t* yrow = yplane + (oy + yy) * size + ox;
+        const bool chroma_row = ((oy + yy) % 2 == 0) && (yy + 1 < nh || true);
+        for (int xx = 0; xx < nw; ++xx) {
+            const float sx = (xx + 0.5f) * inv - 0.5f;
+            const float b = sample(frame, h, w, sy, sx, 0);
+            const float g = sample(frame, h, w, sy, sx, 1);
+            const float r = sample(frame, h, w, sy, sx, 2);
+            uint8_t yv, uv, vv;
+            const bool do_chroma = chroma_row && ((ox + xx) % 2 == 0);
+            bgr_to_yuv(b, g, r, &yv, do_chroma ? &uv : nullptr,
+                       do_chroma ? &vv : nullptr);
+            yrow[xx] = yv;
+            if (do_chroma) {
+                const int cy = (oy + yy) / 2;
+                const int cx = (ox + xx) / 2;
+                uplane[cy * (size / 2) + cx] = uv;
+                vplane[cy * (size / 2) + cx] = vv;
+            }
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// frames: n pointers to HxWx3 BGR uint8 buffers.
+// out: n * (size*size*3/2) bytes — the I420 batch [n, size*3/2, size].
+// scales: n floats; offsets: n*2 floats (ox, oy).
+void framepack_letterbox_i420(const uint8_t** frames, const int* heights,
+                              const int* widths, int n, int size, uint8_t* out,
+                              float* scales, float* offsets, int n_threads) {
+    const size_t frame_bytes = static_cast<size_t>(size) * size * 3 / 2;
+    if (n_threads <= 1 || n <= 1) {
+        for (int i = 0; i < n; ++i) {
+            pack_one(frames[i], heights[i], widths[i], size,
+                     out + i * frame_bytes, scales + i, offsets + 2 * i);
+        }
+        return;
+    }
+    std::vector<std::thread> workers;
+    std::atomic<int> next{0};
+    const int t = std::min(n_threads, n);
+    for (int k = 0; k < t; ++k) {
+        workers.emplace_back([&]() {
+            for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+                pack_one(frames[i], heights[i], widths[i], size,
+                         out + i * frame_bytes, scales + i, offsets + 2 * i);
+            }
+        });
+    }
+    for (auto& w : workers) w.join();
+}
+
+int framepack_version() { return 1; }
+
+}  // extern "C"

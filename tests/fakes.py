@@ -20,6 +20,8 @@ class FakeEngine:
     """One deterministic face per non-black image; embedding derived from the
     image's mean so identical images produce identical embeddings."""
 
+    preferred_fmt = "rgb"
+
     def __init__(self, dim=128):
         self.gallery = DeviceGallery(embed_dim=dim)
         self.metrics = FakeMetrics()
@@ -44,7 +46,7 @@ class FakeEngine:
             }
         ]
 
-    def process_frames(self, frames, tolerance=None):
+    def process_frames(self, frames, tolerance=None, fmt="rgb"):
         frames = np.asarray(frames)
         if frames.ndim == 3:
             frames = frames[None]

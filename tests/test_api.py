@@ -398,3 +398,59 @@ def test_router_errors(app):
     with pytest.raises(HTTPError) as e:
         router.resolve("DELETE", "/face/list")
     assert e.value.status == 405
+
+
+def test_camera_ingest_push_flow(app):
+    """The reference's mock_camera_worker posts to /api/camera/ingest which
+    never existed there (SURVEY.md defect); here the full push flow works."""
+    router, ctx = app
+    body, ctype = _multipart(
+        {"camera_id": "9"}, {"file": ("f.jpg", _jpeg_bytes(140), "image/jpeg")}
+    )
+    status, data, _ = call(router, "POST", "/api/camera/ingest", body=body,
+                           headers={"content-type": ctype})
+    assert data["success"] and data["frames_pushed"] == 1
+    cam = ctx.cameras.get(9)
+    ok, frame = cam.read()
+    assert ok and frame.shape == (64, 64, 3)
+    # snapshot now serves the pushed frame
+    status, jpeg, resp = call(router, "GET", "/camera/9/snapshot")
+    assert status == 200 and resp.content_type == "image/jpeg"
+    # pushing to a non-push camera is rejected
+    body, ctype = _multipart(
+        {"camera_id": "0"}, {"file": ("f.jpg", _jpeg_bytes(140), "image/jpeg")}
+    )
+    with pytest.raises(HTTPError) as e:
+        call(router, "POST", "/api/camera/ingest", body=body,
+             headers={"content-type": ctype})
+    assert e.value.status == 409
+
+
+def test_schemas_validation():
+    from frp_tpu.platform.schemas import (
+        AlertLogModel,
+        DeepfakeLogModel,
+        FaceModel,
+        TrackingRecordModel,
+    )
+
+    rec = TrackingRecordModel(
+        person="alice", camera_id=0, geo=(18.5, 73.8), distance=0.4,
+        confidence="medium", timestamp="2026-08-16T12:00:00",
+    )
+    assert rec.speed_kmh == 0.0
+    with pytest.raises(ValueError):
+        TrackingRecordModel(
+            person="x", camera_id=0, geo=(200.0, 0.0), distance=0.1,
+            confidence="high", timestamp="2026-08-16T12:00:00",
+        )
+    with pytest.raises(ValueError):
+        DeepfakeLogModel(
+            result="fake", confidence="high", timestamp="t",
+            boxes=[[1, 2, 3]],  # bbox needs 4 coords
+        )
+    f = FaceModel(target="bob", embedding="token", quality_score=88.0)
+    assert f.target == "bob"
+    a = AlertLogModel(target="bob", camera_id=1, distance=0.3,
+                      priority="high", timestamp="t")
+    assert a.geo == "(0.0, 0.0)"

@@ -1,0 +1,65 @@
+"""Native framepack tests: fused C++ letterbox+I420 vs the cv2 reference
+path; skipped cleanly where no toolchain/library exists."""
+
+import numpy as np
+import pytest
+
+from frp_tpu.engine.batching import letterbox
+from frp_tpu.utils.native import get_framepack, letterbox_i420_batch
+
+pytestmark = pytest.mark.skipif(
+    get_framepack() is None, reason="native framepack unavailable"
+)
+
+
+def _cv2_reference(frame, size):
+    import cv2
+
+    boxed, s, (ox, oy) = letterbox(frame, size)
+    return cv2.cvtColor(boxed, cv2.COLOR_BGR2YUV_I420), s, (ox, oy)
+
+
+def test_framepack_matches_cv2_geometry_and_pixels():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(0)
+    # smooth frame so resampler differences stay small
+    yy, xx = np.mgrid[0:360, 0:640]
+    frame = np.stack([yy % 256, xx % 256, (yy + xx) % 256], axis=-1).astype(np.uint8)
+    out, scales, offsets = letterbox_i420_batch([frame], 256)
+    ref, s, (ox, oy) = _cv2_reference(frame, 256)
+    assert out.shape == (1, 384, 256)
+    np.testing.assert_allclose(scales[0], s, rtol=1e-3)
+    np.testing.assert_allclose(offsets[0], [ox, oy], atol=1.0)
+    # Y plane close to cv2's (different resamplers: allow small error)
+    y_native = out[0, :256].astype(np.float32)
+    y_cv = ref[:256].astype(np.float32)
+    assert np.mean(np.abs(y_native - y_cv)) < 3.0
+
+
+def test_framepack_batch_multiresolution():
+    rng = np.random.default_rng(1)
+    frames = [
+        rng.integers(0, 255, (240, 320, 3), np.uint8),
+        rng.integers(0, 255, (480, 640, 3), np.uint8),
+        rng.integers(0, 255, (720, 1280, 3), np.uint8),
+    ]
+    out, scales, offsets = letterbox_i420_batch(frames, 128, n_threads=3)
+    assert out.shape == (3, 192, 128)
+    assert np.all(scales > 0)
+    # every frame produced non-trivial luma content
+    for i in range(3):
+        assert out[i, :128].std() > 5
+
+
+def test_framepack_ingests_through_device_path():
+    """Native-packed I420 decodes to sane RGB via the device converter."""
+    import jax.numpy as jnp
+
+    from frp_tpu.ops.image import yuv420_to_rgb
+
+    frame = np.full((100, 100, 3), 128, np.uint8)  # mid-gray
+    out, _, _ = letterbox_i420_batch([frame], 64)
+    rgb = np.asarray(yuv420_to_rgb(jnp.asarray(out)))
+    # center of the letterboxed region should be ~128 gray
+    center = rgb[0, 32, 32]
+    np.testing.assert_allclose(center, 128.0, atol=6.0)
