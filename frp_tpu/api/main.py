@@ -18,6 +18,7 @@ from frp_tpu.api.routes import (
     alerts as alerts_routes,
     async_tasks as async_routes,
     camera as camera_routes,
+    dashboard as dashboard_routes,
     deepfake as deepfake_routes,
     face as face_routes,
     federated as federated_routes,
@@ -63,6 +64,25 @@ def build_app(ctx: AppContext | None = None, **ctx_kwargs):
             }
         )
 
+    @router.post("/debug/trace/start")
+    async def trace_start(request: Request):
+        label = request.query.get("label", "trace")
+        return json_response(ctx.tracer.start(label))
+
+    @router.post("/debug/trace/stop")
+    async def trace_stop(request: Request):
+        return json_response(ctx.tracer.stop())
+
+    @router.get("/debug/timers")
+    async def timers(request: Request):
+        return json_response(
+            {"stages": ctx.timers.summary(), "engine": ctx.engine.metrics.as_dict()}
+        )
+
+    @router.get("/debug/memory")
+    async def memory(request: Request):
+        return json_response(memory_info())
+
     camera_routes.register(router, ctx)
     face_routes.register(router, ctx)
     federated_routes.register(router, ctx)
@@ -70,6 +90,7 @@ def build_app(ctx: AppContext | None = None, **ctx_kwargs):
     alerts_routes.register(router, ctx)
     snapshot_routes.register(router, ctx)
     async_routes.register(router, ctx)  # mounted (reference forgets this)
+    dashboard_routes.register(router, ctx)
     return router, sio, ctx
 
 

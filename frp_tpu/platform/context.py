@@ -136,6 +136,10 @@ class AppContext:
         self.health = HealthMonitor(
             self.cameras, self.db["cameras"], self.cfg.camera_health_interval
         )
+        from frp_tpu.utils.profiling import DeviceTracer, StageTimers
+
+        self.tracer = DeviceTracer(os.path.join(self.cfg.data_dir, "traces"))
+        self.timers = StageTimers()
 
         # keep service metadata views in sync when cameras change
         self._meta_lock = threading.Lock()

@@ -454,3 +454,22 @@ def test_schemas_validation():
     a = AlertLogModel(target="bob", camera_id=1, distance=0.3,
                       priority="high", timestamp="t")
     assert a.geo == "(0.0, 0.0)"
+
+
+def test_debug_routes(app):
+    router, ctx = app
+    status, data, _ = call(router, "GET", "/debug/timers")
+    assert "stages" in data
+    status, data, _ = call(router, "GET", "/debug/memory")
+    assert "rss_mb" in data
+    with ctx.timers.track("unit"):
+        pass
+    status, data, _ = call(router, "GET", "/debug/timers")
+    assert data["stages"]["unit"]["calls"] == 1
+
+
+def test_dashboard_served(app):
+    router, ctx = app
+    status, body, resp = call(router, "GET", "/dashboard")
+    assert status == 200 and resp.content_type.startswith("text/html")
+    assert b"face-recognition-platform" in body and b"new_alert" in body

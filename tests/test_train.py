@@ -91,3 +91,29 @@ def test_weights_delta_feeds_federated_contract():
     info = validate_client_update(delta)  # NaN/Inf-free, FL-uploadable
     assert info["total_params"] > 5e5
     assert any(v.any() for v in delta.values())  # training actually moved weights
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from frp_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    trainer = ArcFaceTrainer(num_classes=8, seed=0, learning_rate=0.05)
+    rng = np.random.default_rng(0)
+    images, labels = _toy_batch(rng)
+    trainer.train_step(images, labels)
+    path = str(tmp_path / "ckpt")
+    backend = save_checkpoint(path, trainer.state)
+    assert backend in ("orbax", "npz")
+
+    # fresh trainer resumes to identical state
+    t2 = ArcFaceTrainer(num_classes=8, seed=99, learning_rate=0.05)
+    restored = load_checkpoint(path, like=t2.state)
+    assert restored is not None
+    assert int(np.asarray(restored["step"])) == 1
+    w_saved = np.asarray(jax.device_get(trainer.state["params"]["classifier"]))
+    np.testing.assert_allclose(
+        np.asarray(restored["params"]["classifier"]), w_saved, rtol=1e-6
+    )
+    # continuing from the restored state trains further
+    t2.state = jax.device_put(restored)
+    m = t2.train_step(images, labels)
+    assert m["step"] == 2 and np.isfinite(m["loss"])
