@@ -110,3 +110,98 @@ def import_pth_state_dict(path: str) -> dict | None:
             arr = arr.transpose(2, 3, 1, 0)
         out[name] = arr
     return out
+
+
+# ---------------------------------------------------------------------------
+# torch state-dict -> param-pytree structural mapping
+# ---------------------------------------------------------------------------
+
+def _collect_units(tree, path=""):
+    """Walk our param tree in deterministic order, yielding typed units:
+    ('conv', {'w'}), ('bn', {...}), ('dense', {...}), ('prelu', {...})."""
+    units = []
+    if isinstance(tree, dict):
+        keys = set(tree.keys())
+        if keys == {"w"}:
+            units.append(("conv", tree, path))
+            return units
+        if keys == {"gamma", "beta", "mean", "var"}:
+            units.append(("bn", tree, path))
+            return units
+        if keys == {"w", "b"}:
+            units.append(("dense", tree, path))
+            return units
+        if keys == {"alpha"}:
+            units.append(("prelu", tree, path))
+            return units
+        for k in tree:  # insertion order == construction order
+            units.extend(_collect_units(tree[k], f"{path}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            units.extend(_collect_units(v, f"{path}{i}/"))
+    return units
+
+
+def _group_torch_modules(state: dict) -> list:
+    """Group a torch state dict (insertion order) into typed module units.
+    Assumes conv weights arrive as HWIO (import_pth_state_dict transposes)."""
+    groups: dict[str, dict] = {}
+    order: list[str] = []
+    for name, arr in state.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        prefix, leaf = name.rsplit(".", 1) if "." in name else ("", name)
+        if prefix not in groups:
+            groups[prefix] = {}
+            order.append(prefix)
+        groups[prefix][leaf] = np.asarray(arr)
+    units = []
+    for prefix in order:
+        g = groups[prefix]
+        if "running_mean" in g:
+            units.append(
+                ("bn", {"gamma": g["weight"], "beta": g["bias"],
+                        "mean": g["running_mean"], "var": g["running_var"]}, prefix)
+            )
+        elif "weight" in g and g["weight"].ndim == 4:
+            units.append(("conv", {"w": g["weight"]}, prefix))
+        elif "weight" in g and g["weight"].ndim == 2:
+            w = g["weight"].T  # torch Linear stores [out, in]
+            units.append(("dense", {"w": w, "b": g.get("bias", np.zeros(w.shape[1]))}, prefix))
+        elif "weight" in g and g["weight"].ndim == 1 and "bias" not in g:
+            units.append(("prelu", {"alpha": g["weight"]}, prefix))
+        elif g:
+            units.append(("other", g, prefix))
+    return units
+
+
+def import_torch_weights(params, state_dict: dict) -> int:
+    """Structurally map a torch state dict onto our param pytree IN PLACE.
+
+    Matching is by (kind, order, shape): the i-th conv/bn/dense/prelu module
+    of the torch model maps onto the i-th of ours — valid because both sides
+    build the same architecture in the same traversal order (reference
+    deepfake checkpoint slot: ``deepfake_utils.py:91-105``). Raises ValueError
+    on kind-sequence or shape mismatch. Returns tensors copied.
+    """
+    ours = _collect_units(params)
+    theirs = [u for u in _group_torch_modules(state_dict) if u[0] != "other"]
+    if len(ours) != len(theirs):
+        raise ValueError(
+            f"module-count mismatch: ours {len(ours)} vs torch {len(theirs)}"
+        )
+    copied = 0
+    for (kind_a, node, path), (kind_b, values, prefix) in zip(ours, theirs):
+        if kind_a != kind_b:
+            raise ValueError(
+                f"module-kind mismatch at {path} ({kind_a}) vs {prefix} ({kind_b})"
+            )
+        for key, arr in values.items():
+            if tuple(np.shape(node[key])) != tuple(arr.shape):
+                raise ValueError(
+                    f"shape mismatch at {path}{key}: ours {np.shape(node[key])} "
+                    f"vs torch {prefix} {arr.shape}"
+                )
+            node[key] = np.asarray(arr, np.float32)
+            copied += 1
+    return copied

@@ -106,3 +106,62 @@ def test_params_npz_roundtrip(tmp_path, mfn_params):
     np.testing.assert_allclose(
         np.asarray(emb), np.asarray(_mfn_jit(mfn_params, x)), atol=1e-6
     )
+
+
+def test_import_torch_weights_structural_mapping():
+    """Round-trip: serialize our MobileNetV3 params as a torch-style ordered
+    state dict (with fresh values), import, and verify the mapping."""
+    from frp_tpu.models.params import _collect_units, import_torch_weights
+
+    params = init_mobilenetv3_small(5, num_classes=2)
+    rng = np.random.default_rng(0)
+
+    # build a torch-style state dict in module order with NEW values
+    state = {}
+    expected = []
+    for i, (kind, node, path) in enumerate(_collect_units(params)):
+        if kind == "conv":
+            w = rng.normal(size=np.shape(node["w"])).astype(np.float32)
+            state[f"m{i}.weight"] = w  # already HWIO (importer contract)
+            expected.append((path + "w", w))
+        elif kind == "bn":
+            for ours, theirs in (("gamma", "weight"), ("beta", "bias"),
+                                 ("mean", "running_mean"), ("var", "running_var")):
+                v = rng.normal(size=np.shape(node[ours])).astype(np.float32)
+                state[f"m{i}.{theirs}"] = v
+                expected.append((path + ours, v))
+            state[f"m{i}.num_batches_tracked"] = np.int64(7)  # must be ignored
+        elif kind == "dense":
+            w = rng.normal(size=np.shape(node["w"])).astype(np.float32)
+            b = rng.normal(size=np.shape(node["b"])).astype(np.float32)
+            state[f"m{i}.weight"] = w.T  # torch Linear layout
+            state[f"m{i}.bias"] = b
+            expected.append((path + "w", w))
+            expected.append((path + "b", b))
+        elif kind == "prelu":
+            a = rng.normal(size=np.shape(node["alpha"])).astype(np.float32)
+            state[f"m{i}.weight"] = a
+            expected.append((path + "alpha", a))
+
+    copied = import_torch_weights(params, state)
+    assert copied == len(expected)
+    # spot-check a few mapped tensors
+    units = {path: node for kind, node, path in
+             __import__("frp_tpu.models.params", fromlist=["x"])._collect_units(params)}
+    checked = 0
+    for full_path, val in expected[:20]:
+        unit_path, key = full_path.rsplit("/", 1) if "/" in full_path else ("", full_path)
+        node = units[unit_path + "/"] if unit_path + "/" in units else units.get(unit_path)
+        if node is None:
+            continue
+        np.testing.assert_array_equal(np.asarray(node[key]), val)
+        checked += 1
+    assert checked > 5
+
+
+def test_import_torch_weights_shape_mismatch_raises():
+    from frp_tpu.models.params import import_torch_weights
+
+    params = init_mobilenetv3_small(5, num_classes=2)
+    with pytest.raises(ValueError, match="module-count"):
+        import_torch_weights(params, {"m0.weight": np.zeros((3, 3, 3, 16), np.float32)})
