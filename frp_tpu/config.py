@@ -37,6 +37,7 @@ class Config:
     encode_cache_size: int = 256         # FACE_CACHE_SIZE
     min_face_quality: float = 50.0       # MIN_FACE_QUALITY upload gate (face.py:221-238)
     embed_dim: int = 128                 # EMBED_DIM — dlib-compatible 128-d default
+    embedder_arch: str = "mobilefacenet"  # EMBEDDER_ARCH: mobilefacenet | iresnet18/34/50/100
 
     # --- detector (reference deepfake_utils.py:41-48) ---
     det_size: int = 640                  # DET_SIZE square detector input
@@ -118,6 +119,7 @@ _ENV_MAP = {
     "encode_cache_size": ("FACE_CACHE_SIZE", int),
     "min_face_quality": ("MIN_FACE_QUALITY", float),
     "embed_dim": ("EMBED_DIM", int),
+    "embedder_arch": ("EMBEDDER_ARCH", str),
     "det_size": ("DET_SIZE", int),
     "det_conf_threshold": ("DET_CONF_THRESHOLD", float),
     "det_nms_threshold": ("DET_NMS_THRESHOLD", float),

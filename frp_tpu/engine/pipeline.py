@@ -43,6 +43,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 from frp_tpu.config import Config, get_config
 from frp_tpu.engine.gallery import DeviceGallery
+from frp_tpu.models.iresnet import init_iresnet, iresnet_forward
 from frp_tpu.models.mobilefacenet import init_mobilefacenet, mobilefacenet_forward
 from frp_tpu.models.mobilenetv3 import init_mobilenetv3_small, mobilenetv3_forward
 from frp_tpu.models.retinaface import init_retinaface, retinaface_forward
@@ -213,6 +214,7 @@ def build_stages(
     with_quality: bool = True,
     compute_dtype: str = "bfloat16",
     spoof_size: int = 112,
+    embedder_forward=mobilefacenet_forward,
 ):
     """The same pipeline as ``build_pipeline`` split into four chained jitted
     stages (detect -> crop -> embed -> match).
@@ -287,7 +289,7 @@ def build_stages(
         b, m = crops.shape[0], crops.shape[1]
         flat = crops.reshape(b * m, 112, 112, 3)
         emb_in = normalize_face(flat).astype(cdtype)
-        emb = mobilefacenet_forward(params["embedder"], emb_in)
+        emb = embedder_forward(params["embedder"], emb_in)
         emb = jnp.where(valid.reshape(-1, 1), emb, 0.0)
         out = {"embeddings_flat": emb}
         if with_spoof:
@@ -375,10 +377,17 @@ class RecognitionEngine:
         # device-resident params: a numpy pytree passed through jit would be
         # re-uploaded leaf-by-leaf on EVERY dispatch (measured ~5 ms/call on
         # v5e vs 0.2 ms with committed arrays)
+        arch = getattr(self.cfg, "embedder_arch", "mobilefacenet")
+        if arch.startswith("iresnet"):
+            embedder = init_iresnet(seed + 1, variant=arch, embed_dim=self.cfg.embed_dim)
+            self._embedder_forward = iresnet_forward
+        else:
+            embedder = init_mobilefacenet(seed + 1, embed_dim=self.cfg.embed_dim)
+            self._embedder_forward = mobilefacenet_forward
         self.params = jax.device_put(
             {
                 "detector": init_retinaface(seed),
-                "embedder": init_mobilefacenet(seed + 1, embed_dim=self.cfg.embed_dim),
+                "embedder": embedder,
                 "spoof": init_mobilenetv3_small(seed + 2, num_classes=2),
             }
         )
@@ -394,6 +403,7 @@ class RecognitionEngine:
             nms_thresh=self.cfg.det_nms_threshold,
             with_spoof=self.with_spoof,
             compute_dtype=self.cfg.compute_dtype,
+            embedder_forward=self._embedder_forward,
         )
 
     # -- staged dispatch ------------------------------------------------

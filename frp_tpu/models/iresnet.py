@@ -1,0 +1,99 @@
+"""IResNet (ArcFace's improved ResNet) — the production-accuracy embedder
+family, config-selectable beside MobileFaceNet.
+
+The reference's only embedder is dlib's fixed 128-d ResNet (SURVEY.md section
+2.3); this provides the scaling path: iresnet18/34/50/100 at 112x112 with the
+standard ArcFace head (BN -> flatten -> FC(embed_dim) -> BN). Blocks are the
+"improved" residual unit: BN-Conv-BN-PReLU-Conv-BN with a stride-2 conv
+shortcut — all NHWC pure functions over param pytrees, bf16-friendly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frp_tpu.models import nn
+
+_DEPTHS = {
+    "iresnet18": (2, 2, 2, 2),
+    "iresnet34": (3, 4, 6, 3),
+    "iresnet50": (3, 4, 14, 3),
+    "iresnet100": (3, 13, 30, 3),
+}
+_WIDTHS = (64, 128, 256, 512)
+
+
+def _block_init(rng, cin, cout, stride):
+    p = {
+        "bn1": nn.bn_init(cin),
+        "conv1": nn.conv_init(rng, 3, 3, cin, cout),
+        "bn2": nn.bn_init(cout),
+        "prelu": nn.prelu_init(cout),
+        "conv2": nn.conv_init(rng, 3, 3, cout, cout),
+        "bn3": nn.bn_init(cout),
+    }
+    if stride != 1 or cin != cout:
+        p["down_conv"] = nn.conv_init(rng, 1, 1, cin, cout)
+        p["down_bn"] = nn.bn_init(cout)
+    return p
+
+
+def _block(p, x, stride):
+    y = nn.batch_norm(p["bn1"], x)
+    y = nn.conv(p["conv1"], y)
+    y = nn.batch_norm(p["bn2"], y)
+    y = nn.prelu(p["prelu"], y)
+    y = nn.conv(p["conv2"], y, stride=stride)
+    y = nn.batch_norm(p["bn3"], y)
+    if "down_conv" in p:
+        x = nn.batch_norm(p["down_bn"], nn.conv(p["down_conv"], x, stride=stride))
+    return x + y
+
+
+def init_iresnet(rng_or_seed=0, variant: str = "iresnet18", embed_dim: int = 128) -> dict:
+    if variant not in _DEPTHS:
+        raise ValueError(f"unknown variant {variant}; options: {sorted(_DEPTHS)}")
+    rng = nn.as_rng(rng_or_seed)
+    depths = _DEPTHS[variant]
+    params = {
+        "stem": nn.conv_init(rng, 3, 3, 3, 64),
+        "stem_bn": nn.bn_init(64),
+        "stem_prelu": nn.prelu_init(64),
+        "stages": [],
+    }
+    cin = 64
+    for width, n_blocks in zip(_WIDTHS, depths):
+        stage = []
+        for b in range(n_blocks):
+            stride = 2 if b == 0 else 1
+            stage.append(_block_init(rng, cin, width, stride))
+            cin = width
+        params["stages"].append(stage)
+    # 112/2^4 = 7 -> feature map [7, 7, 512]
+    params["head_bn"] = nn.bn_init(cin)
+    params["fc"] = nn.dense_init(rng, cin * 7 * 7, embed_dim)
+    params["feat_bn"] = nn.bn_init(embed_dim)
+    return params
+
+
+def iresnet_forward(params: dict, x: jnp.ndarray, normalize: bool = True) -> jnp.ndarray:
+    """x: [B, 112, 112, 3] normalized crops -> [B, D] float32 embeddings."""
+    y = nn.conv(params["stem"], x)
+    y = nn.batch_norm(params["stem_bn"], y)
+    y = nn.prelu(params["stem_prelu"], y)
+    for stage in params["stages"]:
+        for b, block in enumerate(stage):
+            y = _block(block, y, 2 if b == 0 else 1)
+    y = nn.batch_norm(params["head_bn"], y)
+    y = y.reshape(y.shape[0], -1)
+    emb = nn.dense(params["fc"], y).astype(jnp.float32)
+    # feature BN (1D): fold running stats
+    p = params["feat_bn"]
+    emb = (emb - p["mean"]) * jax.lax.rsqrt(p["var"] + 1e-5) * p["gamma"] + p["beta"]
+    if normalize:
+        emb = emb * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(emb * emb, axis=-1, keepdims=True), 1e-12)
+        )
+    return emb

@@ -165,3 +165,31 @@ def test_import_torch_weights_shape_mismatch_raises():
     params = init_mobilenetv3_small(5, num_classes=2)
     with pytest.raises(ValueError, match="module-count"):
         import_torch_weights(params, {"m0.weight": np.zeros((3, 3, 3, 16), np.float32)})
+
+
+def test_iresnet_variants_shapes():
+    from frp_tpu.models.iresnet import init_iresnet, iresnet_forward
+
+    params = init_iresnet(0, variant="iresnet18", embed_dim=128)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 112, 112, 3)), jnp.float32
+    )
+    emb = jax.jit(iresnet_forward)(params, x)
+    assert emb.shape == (2, 128)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=1), 1.0, atol=1e-4)
+    n = count_params(params)
+    assert 10e6 < n < 35e6  # r18 with a 128-d head (24M at 512-d)
+    with pytest.raises(ValueError, match="unknown variant"):
+        init_iresnet(0, variant="iresnet7")
+
+
+def test_engine_with_iresnet_embedder(tmp_path):
+    from frp_tpu.config import load_config
+    from frp_tpu.engine.pipeline import RecognitionEngine
+
+    cfg = load_config(det_size=128, max_faces_per_frame=2, pre_nms_topk=32,
+                      embedder_arch="iresnet18", det_conf_threshold=0.3)
+    eng = RecognitionEngine(cfg, seed=0)
+    frames = np.random.default_rng(0).integers(0, 255, (1, 128, 128, 3), np.uint8)
+    out = eng.process_frames(frames)
+    assert out["embeddings"].shape == (1, 2, 128)
