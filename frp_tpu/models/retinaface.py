@@ -132,4 +132,4 @@ def retinaface_forward(params: dict, x: jnp.ndarray) -> dict:
     loc = _head(params["head_box"], feats, 4).astype(jnp.float32)
     ldm = _head(params["head_ldm"], feats, 10).astype(jnp.float32)
     score = jax.nn.softmax(cls, axis=-1)[..., 1]
-    return {"loc": loc, "ldm": ldm, "score": score}
+    return {"loc": loc, "ldm": ldm, "score": score, "cls_logits": cls}

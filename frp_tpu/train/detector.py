@@ -1,0 +1,131 @@
+"""RetinaFace detector training: batched multibox loss, data-parallel step.
+
+The reference consumes a frozen ONNX detector; this is the training loop the
+TPU framework adds so the detector can be fit/fine-tuned on deployment data
+(synthetic-face pretraining, domain adaptation). Batch is sharded over the
+mesh 'data' axis; params replicated; grads all-reduce automatically.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from frp_tpu.models.retinaface import init_retinaface, retinaface_forward
+from frp_tpu.ops.anchor_targets import assign_targets, multibox_loss
+from frp_tpu.ops.anchors import generate_anchors
+from frp_tpu.parallel.mesh import DATA_AXIS
+
+
+def make_detector_train_step(
+    tx,
+    det_size: int,
+    mesh: Mesh | None = None,
+    compute_dtype: str = "bfloat16",
+    pos_thresh: float = 0.35,
+):
+    def loss_fn(params, images, gt_boxes, gt_ldm, gt_valid, priors):
+        x = ((images - 127.5) / 128.0).astype(jnp.dtype(compute_dtype))
+        out = retinaface_forward(params, x)
+        logits = out["cls_logits"]
+
+        def per_image(loc, ldm, lg, boxes, ldm_gt, valid):
+            t = assign_targets(priors, boxes, ldm_gt, valid, pos_thresh, pos_thresh)
+            return multibox_loss(loc, ldm, lg, t)
+
+        losses = jax.vmap(per_image)(
+            out["loc"], out["ldm"], logits, gt_boxes, gt_ldm, gt_valid
+        )
+        return jnp.mean(losses["loss"]), {
+            k: jnp.mean(v) for k, v in losses.items()
+        }
+
+    def step(state, images, gt_boxes, gt_ldm, gt_valid, priors):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"], images, gt_boxes, gt_ldm, gt_valid, priors
+        )
+        updates, new_opt = tx.update(grads, state["opt_state"], state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+        return (
+            {"params": new_params, "opt_state": new_opt, "step": state["step"] + 1},
+            metrics,
+        )
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+
+    def make(state_proto):
+        state_sh = jax.tree_util.tree_map(lambda _: repl, state_proto)
+        return jax.jit(
+            step,
+            in_shardings=(state_sh, data, data, data, data, repl),
+            out_shardings=(state_sh, repl),
+            donate_argnums=(0,),
+        )
+
+    return make
+
+
+class DetectorTrainer:
+    """Host-facing detector trainer (mirrors ArcFaceTrainer's surface)."""
+
+    def __init__(
+        self,
+        det_size: int = 320,
+        mesh: Mesh | None = None,
+        seed: int = 0,
+        learning_rate: float = 1e-3,
+        compute_dtype: str = "bfloat16",
+    ):
+        self.det_size = det_size
+        self.mesh = mesh
+        self.priors = jax.device_put(generate_anchors(det_size))
+        params = init_retinaface(seed)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(10.0), optax.adamw(learning_rate)
+        )
+        state = {
+            "params": params,
+            "opt_state": self.tx.init(params),
+            "step": np.int32(0),
+        }
+        maker = make_detector_train_step(
+            self.tx, det_size, mesh, compute_dtype=compute_dtype
+        )
+        if mesh is None:
+            self.state = jax.device_put(state)
+            self._step = maker
+        else:
+            self._step = maker(state)
+            repl = NamedSharding(mesh, P())
+            self.state = jax.device_put(state, repl)
+        self.history: list[dict] = []
+
+    def train_step(self, images, gt_boxes, gt_ldm, gt_valid) -> dict:
+        """images [B, S, S, 3] float 0..255; gt_boxes [B, G, 4] xyxy
+        NORMALIZED 0..1; gt_ldm [B, G, 10] normalized; gt_valid [B, G]."""
+        put = (
+            (lambda x: jax.device_put(x, NamedSharding(self.mesh, P(DATA_AXIS))))
+            if self.mesh is not None
+            else jnp.asarray
+        )
+        self.state, metrics = self._step(
+            self.state,
+            put(np.asarray(images, np.float32)),
+            put(np.asarray(gt_boxes, np.float32)),
+            put(np.asarray(gt_ldm, np.float32)),
+            put(np.asarray(gt_valid, bool)),
+            self.priors,
+        )
+        entry = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        entry["step"] = int(jax.device_get(self.state["step"]))
+        self.history.append(entry)
+        return entry
+
+    def detector_params(self):
+        return jax.device_get(self.state["params"])
