@@ -1,0 +1,93 @@
+"""Spoof/deepfake classifier training — plain data-parallel cross-entropy for
+the MobileNetV3-Small head.
+
+The reference ships an EMPTY (0-byte) checkpoint and runs untrained forever
+(``deepfake_utils.py:91-105``; its API admits it at ``deepfake.py:607-621``).
+This trainer closes the loop: fit on real/fake crops (idx1 = fake preserved),
+export params the DeepfakeService loads, and flip ``weights_loaded`` honestly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from frp_tpu.models.mobilenetv3 import init_mobilenetv3_small, mobilenetv3_forward
+from frp_tpu.ops.image import normalize_imagenet
+from frp_tpu.parallel.mesh import DATA_AXIS
+
+
+class SpoofTrainer:
+    def __init__(
+        self,
+        mesh: Mesh | None = None,
+        seed: int = 0,
+        learning_rate: float = 1e-3,
+        compute_dtype: str = "bfloat16",
+    ):
+        self.mesh = mesh
+        params = init_mobilenetv3_small(seed, num_classes=2)
+        self.tx = optax.adamw(learning_rate)
+        state = {"params": params, "opt_state": self.tx.init(params), "step": np.int32(0)}
+
+        def loss_fn(params, images, labels):
+            x = normalize_imagenet(images).astype(jnp.dtype(compute_dtype))
+            logits = mobilenetv3_forward(params, x)
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels
+            ).mean()
+            acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+            return loss, acc
+
+        def step(state, images, labels):
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["params"], images, labels
+            )
+            updates, new_opt = self.tx.update(grads, state["opt_state"], state["params"])
+            return (
+                {
+                    "params": optax.apply_updates(state["params"], updates),
+                    "opt_state": new_opt,
+                    "step": state["step"] + 1,
+                },
+                {"loss": loss, "accuracy": acc},
+            )
+
+        if mesh is None:
+            self.state = jax.device_put(state)
+            self._step = jax.jit(step, donate_argnums=(0,))
+        else:
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P(DATA_AXIS))
+            state_sh = jax.tree_util.tree_map(lambda _: repl, state)
+            self._step = jax.jit(
+                step,
+                in_shardings=(state_sh, data, data),
+                out_shardings=(state_sh, repl),
+                donate_argnums=(0,),
+            )
+            self.state = jax.device_put(state, repl)
+        self.history: list[dict] = []
+
+    def train_step(self, images: np.ndarray, labels: np.ndarray) -> dict:
+        """images [B, S, S, 3] float 0..255 crops; labels [B] (1 = fake)."""
+        put = (
+            (lambda x: jax.device_put(x, NamedSharding(self.mesh, P(DATA_AXIS))))
+            if self.mesh is not None
+            else jnp.asarray
+        )
+        self.state, metrics = self._step(
+            self.state,
+            put(np.asarray(images, np.float32)),
+            put(np.asarray(labels, np.int32)),
+        )
+        entry = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        entry["step"] = int(jax.device_get(self.state["step"]))
+        self.history.append(entry)
+        return entry
+
+    def classifier_params(self):
+        return jax.device_get(self.state["params"])

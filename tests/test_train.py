@@ -117,3 +117,28 @@ def test_checkpoint_roundtrip(tmp_path):
     t2.state = jax.device_put(restored)
     m = t2.train_step(images, labels)
     assert m["step"] == 2 and np.isfinite(m["loss"])
+
+
+def test_spoof_trainer_overfits_and_feeds_engine():
+    from frp_tpu.models.mobilenetv3 import mobilenetv3_forward
+    from frp_tpu.ops.image import normalize_imagenet
+    from frp_tpu.train.classifier import SpoofTrainer
+
+    trainer = SpoofTrainer(seed=0, learning_rate=2e-3, compute_dtype="float32")
+    rng = np.random.default_rng(0)
+    # separable toy task: bright crops = fake, dark = real
+    real = rng.normal(60, 10, size=(4, 64, 64, 3)).astype(np.float32)
+    fake = rng.normal(200, 10, size=(4, 64, 64, 3)).astype(np.float32)
+    images = np.concatenate([real, fake])
+    labels = np.array([0] * 4 + [1] * 4, np.int32)
+    metrics = [trainer.train_step(images, labels) for _ in range(8)]
+    assert metrics[-1]["loss"] < metrics[0]["loss"]
+    assert metrics[-1]["accuracy"] >= 0.75
+    # trained params flow into the honest weights_loaded reporting path
+    params = trainer.classifier_params()
+    import jax.numpy as jnp
+    logits = jax.jit(mobilenetv3_forward)(
+        params, normalize_imagenet(jnp.asarray(images)).astype(jnp.float32)
+    )
+    pred = np.argmax(np.asarray(logits), -1)
+    assert (pred == labels).mean() >= 0.75
