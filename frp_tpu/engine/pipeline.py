@@ -384,13 +384,13 @@ class RecognitionEngine:
         else:
             embedder = init_mobilefacenet(seed + 1, embed_dim=self.cfg.embed_dim)
             self._embedder_forward = mobilefacenet_forward
-        self.params = jax.device_put(
-            {
-                "detector": init_retinaface(seed),
-                "embedder": embedder,
-                "spoof": init_mobilenetv3_small(seed + 2, num_classes=2),
-            }
-        )
+        host_params = {
+            "detector": init_retinaface(seed),
+            "embedder": embedder,
+            "spoof": init_mobilenetv3_small(seed + 2, num_classes=2),
+        }
+        self.weights_loaded = self._load_weights(host_params, arch)
+        self.params = jax.device_put(host_params)
         self.gallery = DeviceGallery(embed_dim=self.cfg.embed_dim)
         self.metrics = EngineMetrics()
         self._lock = threading.Lock()
@@ -405,6 +405,54 @@ class RecognitionEngine:
             compute_dtype=self.cfg.compute_dtype,
             embedder_forward=self._embedder_forward,
         )
+
+    def _load_weights(self, host_params: dict, arch: str) -> dict:
+        """Load trained weights from cfg.weights_dir when present (the engine
+        initializes deterministically otherwise). Candidates per model:
+        retinaface.npz / retinaface_synthetic.npz, {arch}.npz / embedder.npz,
+        spoof.npz / mobilenetv3.npz. Returns {model: filename|None}."""
+        import glob
+        import os
+
+        from frp_tpu.models.params import load_params
+
+        loaded: dict = {}
+        wd = getattr(self.cfg, "weights_dir", "weights")
+        # resolve relative to the repo root as well as cwd
+        roots = [wd, os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), wd)]
+        candidates = {
+            "detector": ["retinaface.npz", "retinaface_synthetic.npz"],
+            "embedder": [f"{arch}.npz", "embedder.npz"],
+            "spoof": ["spoof.npz", "mobilenetv3.npz"],
+        }
+        for model, names in candidates.items():
+            loaded[model] = None
+            for root in roots:
+                for name in names:
+                    path = os.path.join(root, name)
+                    if not os.path.exists(path):
+                        continue
+                    try:
+                        new = load_params(path)
+                        ref = jax.tree_util.tree_leaves(host_params[model])
+                        got = jax.tree_util.tree_leaves(new)
+                        if len(ref) != len(got) or any(
+                            np.shape(a) != np.shape(b) for a, b in zip(ref, got)
+                        ):
+                            raise ValueError("structure mismatch")
+                        host_params[model] = new
+                        loaded[model] = path
+                    except (ValueError, OSError, KeyError) as e:
+                        import logging
+
+                        logging.getLogger("frp.engine").warning(
+                            "weights %s not loaded: %s", path, e
+                        )
+                    break
+                if loaded[model]:
+                    break
+        return loaded
 
     # -- staged dispatch ------------------------------------------------
     def _run_stages(self, frames_dev, tolerance: float, fmt: str = "rgb"):

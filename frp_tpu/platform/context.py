@@ -119,6 +119,9 @@ class AppContext:
             max_frames=self.cfg.deepfake_max_frames,
             threshold=self.cfg.deepfake_threshold,
             cache_ttl=self.cfg.deepfake_cache_ttl,
+            weights_loaded=bool(
+                (getattr(engine, "weights_loaded", None) or {}).get("spoof")
+            ),
         )
         self.federated = FederatedService(
             weights_dir=os.path.join(self.cfg.data_dir, "fl_weights"),

@@ -60,23 +60,36 @@ class FrameSource:
 
 
 class SyntheticSource(FrameSource):
-    """Deterministic moving-pattern frames — drives tests, benches, and demo
-    deployments with no hardware (subsumes tools/mock_camera_worker.py)."""
+    """Deterministic frames with a moving synthetic face — drives tests,
+    benches, and demo deployments with no hardware (subsumes
+    tools/mock_camera_worker.py). The rendered face matches the distribution
+    the bootstrap detector weights are trained on
+    (frp_tpu/train/synthetic.py), so the full scan -> track -> alert loop
+    produces real positives out of the box."""
 
     def __init__(self, width: int = 1280, height: int = 720, seed: int = 0):
         self.w, self.h = width, height
         self._tick = 0
+        self._seed = seed
         self._rng = np.random.default_rng(seed)
-        self._base = self._rng.integers(0, 120, size=(height, width, 3), dtype=np.uint8)
+        self._base = self._rng.integers(0, 110, size=(height, width, 3), dtype=np.uint8)
 
     def read(self):
         self._tick += 1
         frame = self._base.copy()
-        # a bright moving square to give the detector something non-uniform
-        size = self.h // 4
-        x = (self._tick * 17) % max(1, self.w - size)
-        y = (self._tick * 11) % max(1, self.h - size)
-        frame[y : y + size, x : x + size] = 220
+        size = self.h / 4.0
+        margin = size
+        cx = margin + (self._tick * 17 + self._seed * 53) % max(1, int(self.w - 2 * margin))
+        cy = margin + (self._tick * 11 + self._seed * 31) % max(1, int(self.h - 2 * margin))
+        try:
+            from frp_tpu.train.synthetic import render_face
+
+            render_face(frame, float(cx), float(cy), size,
+                        np.random.default_rng(self._seed))
+        except Exception:  # keep frame sources unconditionally robust
+            s = int(size)
+            frame[int(cy) - s // 2 : int(cy) + s // 2,
+                  int(cx) - s // 2 : int(cx) + s // 2] = 220
         return True, frame
 
 

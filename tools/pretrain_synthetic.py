@@ -1,0 +1,52 @@
+"""Bootstrap-pretrain the RetinaFace detector on synthetic face scenes and
+save the weights the engine auto-loads (weights/retinaface_synthetic.npz).
+
+Usage: python tools/pretrain_synthetic.py [--steps 400] [--det-size 320]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--det-size", type=int, default=320)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--out", default="weights/retinaface_synthetic.npz")
+    args = p.parse_args()
+
+    from frp_tpu.models.params import save_params
+    from frp_tpu.train.detector import DetectorTrainer
+    from frp_tpu.train.synthetic import make_batch
+
+    trainer = DetectorTrainer(
+        det_size=args.det_size, seed=0, learning_rate=args.lr
+    )
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    for step in range(args.steps):
+        images, boxes, ldms, valid = make_batch(args.batch, args.det_size, rng)
+        m = trainer.train_step(images, boxes, ldms, valid)
+        if step % 20 == 0 or step == args.steps - 1:
+            print(
+                f"step {m['step']:4d}  loss {m['loss']:.3f}  cls {m['cls_loss']:.3f} "
+                f"loc {m['loc_loss']:.3f}  ldm {m['ldm_loss']:.3f}  "
+                f"({(time.time() - t0) / (step + 1):.2f}s/step)",
+                flush=True,
+            )
+    save_params(args.out, trainer.detector_params())
+    print(f"saved {args.out}")
+
+
+if __name__ == "__main__":
+    main()
