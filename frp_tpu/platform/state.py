@@ -76,7 +76,9 @@ class SyntheticSource(FrameSource):
 
     def read(self):
         self._tick += 1
-        frame = self._base.copy()
+        # render in RGB (train.synthetic's convention), deliver BGR like a
+        # real cv2 camera — downstream batching flips it back
+        rgb = self._base.copy()
         size = self.h / 4.0
         margin = size
         cx = margin + (self._tick * 17 + self._seed * 53) % max(1, int(self.w - 2 * margin))
@@ -84,13 +86,13 @@ class SyntheticSource(FrameSource):
         try:
             from frp_tpu.train.synthetic import render_face
 
-            render_face(frame, float(cx), float(cy), size,
+            render_face(rgb, float(cx), float(cy), size,
                         np.random.default_rng(self._seed))
         except Exception:  # keep frame sources unconditionally robust
             s = int(size)
-            frame[int(cy) - s // 2 : int(cy) + s // 2,
-                  int(cx) - s // 2 : int(cx) + s // 2] = 220
-        return True, frame
+            rgb[int(cy) - s // 2 : int(cy) + s // 2,
+                int(cx) - s // 2 : int(cx) + s // 2] = 220
+        return True, np.ascontiguousarray(rgb[..., ::-1])
 
 
 class PushSource(FrameSource):

@@ -1,5 +1,8 @@
 """Synthetic face-scene generation for detector/embedder bootstrap training.
 
+Channel convention: scenes are RGB (the pipeline's on-device convention).
+Camera-like sources must deliver BGR and let the batching layer flip it.
+
 No face dataset ships with this repo (zero-egress build), so the demo and
 test weights are trained on procedurally rendered "faces": a skin-tone
 ellipse head with two dark eyes, a nose point and a mouth bar over textured
