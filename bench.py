@@ -47,10 +47,22 @@ def main():
     for i in range(100):
         eng.gallery.add(f"person_{i}", rng.normal(size=cfg.embed_dim))
 
-    # 8 synthetic 1080p camera frames (BGR, as cv2 delivers)
-    cams = [
-        rng.integers(0, 255, size=(1080, 1920, 3), dtype=np.uint8) for _ in range(8)
-    ]
+    # 8 synthetic 1080p camera frames with rendered faces (BGR, as cv2
+    # delivers) — with the bootstrap detector weights loaded, detections,
+    # alignment, embedding, spoof and matching all run on REAL positives
+    from frp_tpu.train.synthetic import render_face
+
+    cams = []
+    for c in range(8):
+        rgb = rng.integers(20, 110, size=(1080, 1920, 3), dtype=np.uint8)
+        # crowded scene: a 4x3 grid of faces (non-overlapping by construction)
+        for gy in range(3):
+            for gx in range(4):
+                size = float(rng.uniform(150, 240))
+                cx = gx * 480 + 240 + float(rng.uniform(-60, 60))
+                cy = gy * 360 + 180 + float(rng.uniform(-40, 40))
+                render_face(rgb, cx, cy, size, rng)
+        cams.append(np.ascontiguousarray(rgb[..., ::-1]))  # BGR like cv2
 
     def host_prep():
         """Letterbox 8x1080p -> 640 and pack I420 (or RGB without cv2).
