@@ -84,10 +84,11 @@ class SyntheticSource(FrameSource):
         cx = margin + (self._tick * 17 + self._seed * 53) % max(1, int(self.w - 2 * margin))
         cy = margin + (self._tick * 11 + self._seed * 31) % max(1, int(self.h - 2 * margin))
         try:
-            from frp_tpu.train.synthetic import render_face
+            from frp_tpu.train.synthetic import make_identity, render_face
 
             render_face(rgb, float(cx), float(cy), size,
-                        np.random.default_rng(self._seed))
+                        np.random.default_rng(self._seed),
+                        identity=make_identity(self._seed))
         except Exception:  # keep frame sources unconditionally robust
             s = int(size)
             rgb[int(cy) - s // 2 : int(cy) + s // 2,

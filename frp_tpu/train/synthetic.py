@@ -17,14 +17,41 @@ from __future__ import annotations
 import numpy as np
 
 
-def render_face(canvas: np.ndarray, cx, cy, size, rng) -> tuple[list, list]:
-    """Draw one synthetic face; returns (bbox xyxy px, landmarks 10 px)."""
+def make_identity(seed: int) -> dict:
+    """Stable per-person render parameters — the 'identity' an embedder can
+    learn to separate: skin tone + facial geometry ratios."""
+    rng = np.random.default_rng(seed)
+    return {
+        "skin": np.array(
+            [rng.integers(140, 230), rng.integers(100, 190), rng.integers(80, 170)]
+        ),
+        "eye_dx": float(rng.uniform(0.13, 0.23)),
+        "eye_dy": float(rng.uniform(0.08, 0.16)),
+        "eye_r": float(rng.uniform(0.035, 0.065)),
+        "eye_color": np.array([rng.integers(10, 60)] * 2 + [rng.integers(20, 90)]),
+        "mouth_w": float(rng.uniform(0.09, 0.17)),
+        "mouth_y": float(rng.uniform(0.18, 0.26)),
+        "mouth_color": np.array(
+            [rng.integers(40, 90), rng.integers(20, 60), rng.integers(80, 150)]
+        ),
+        "head_ax": float(rng.uniform(0.38, 0.46)),
+        "head_ay": float(rng.uniform(0.50, 0.60)),
+    }
+
+
+def render_face(canvas: np.ndarray, cx, cy, size, rng, identity: dict | None = None):
+    """Draw one synthetic face; returns (bbox xyxy px, landmarks 10 px).
+    With ``identity`` (see make_identity) the face is person-stable; otherwise
+    colors come from ``rng`` with the standard geometry."""
     h, w = canvas.shape[:2]
-    ax, ay = size * 0.42, size * 0.55  # head half-axes
+    ident = identity or {}
+    ax = size * ident.get("head_ax", 0.42)
+    ay = size * ident.get("head_ay", 0.55)
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     mask = ((xx - cx) / ax) ** 2 + ((yy - cy) / ay) ** 2 <= 1.0
-    skin = np.array(
-        [rng.integers(150, 220), rng.integers(110, 180), rng.integers(90, 160)]
+    skin = ident.get(
+        "skin",
+        np.array([rng.integers(150, 220), rng.integers(110, 180), rng.integers(90, 160)]),
     )
     canvas[mask] = (0.8 * skin + 0.2 * canvas[mask]).astype(np.uint8)
 
@@ -32,22 +59,44 @@ def render_face(canvas: np.ndarray, cx, cy, size, rng) -> tuple[list, list]:
         m = (xx - bx) ** 2 + (yy - by) ** 2 <= r * r
         canvas[m] = color
 
-    eye_dx, eye_dy = size * 0.18, size * 0.12
-    eye_r = max(1.5, size * 0.05)
+    eye_dx = size * ident.get("eye_dx", 0.18)
+    eye_dy = size * ident.get("eye_dy", 0.12)
+    eye_r = max(1.5, size * ident.get("eye_r", 0.05))
+    eye_color = ident.get("eye_color", (30, 30, 40))
+    mouth_w = ident.get("mouth_w", 0.13)
+    mouth_y = ident.get("mouth_y", 0.22)
+    mouth_color = ident.get("mouth_color", (60, 40, 120))
     le = (cx - eye_dx, cy - eye_dy)
     re = (cx + eye_dx, cy - eye_dy)
     nose = (cx, cy + size * 0.05)
-    ml = (cx - size * 0.12, cy + size * 0.22)
-    mr = (cx + size * 0.12, cy + size * 0.22)
-    blob(*le, eye_r, (30, 30, 40))
-    blob(*re, eye_r, (30, 30, 40))
+    ml = (cx - size * mouth_w * 0.92, cy + size * mouth_y)
+    mr = (cx + size * mouth_w * 0.92, cy + size * mouth_y)
+    blob(*le, eye_r, eye_color)
+    blob(*re, eye_r, eye_color)
     blob(*nose, max(1.0, size * 0.03), (110, 80, 80))
-    mouth = (np.abs(xx - cx) <= size * 0.13) & (np.abs(yy - (cy + size * 0.22)) <= max(1.0, size * 0.025))
-    canvas[mouth] = (60, 40, 120)
+    mouth = (np.abs(xx - cx) <= size * mouth_w) & (
+        np.abs(yy - (cy + size * mouth_y)) <= max(1.0, size * 0.025)
+    )
+    canvas[mouth] = mouth_color
 
     box = [cx - ax, cy - ay, cx + ax, cy + ay]
     ldm = [*le, *re, *nose, *ml, *mr]
     return box, ldm
+
+
+def make_identity_crop(identity: dict, rng, size: int = 112) -> np.ndarray:
+    """A 112x112 aligned-style crop of one identity with nuisance variation
+    (background, lighting jitter, sub-pixel position/scale) — ArcFace
+    training samples. Returns RGB uint8."""
+    canvas = rng.integers(20, 110, (size, size, 3), dtype=np.uint8)
+    cx = size / 2 + float(rng.uniform(-4, 4))
+    cy = size / 2 + float(rng.uniform(-4, 4))
+    fsize = size * float(rng.uniform(0.82, 1.0))
+    render_face(canvas, cx, cy, fsize, rng, identity)
+    # lighting jitter
+    gain = float(rng.uniform(0.8, 1.2))
+    bias = float(rng.uniform(-15, 15))
+    return np.clip(canvas.astype(np.float32) * gain + bias, 0, 255).astype(np.uint8)
 
 
 def make_scene(size: int, rng, max_faces: int = 3):
