@@ -1,0 +1,194 @@
+"""Measure all five BASELINE.json configs on the attached TPU and write
+benchmarks/RESULTS.md.
+
+Configs (BASELINE.json "configs"):
+  1. single still image: detect -> embed -> match vs 100-face gallery
+  2. single 720p camera stream: real-time recognition + watchlist alerts
+  3. 4x1080p streams with cross-camera tracking identity association
+  4. batched spoof classification alongside recognition
+  5. FedAvg round: aggregate client weight updates
+
+Usage: python benchmarks/run_all.py [--out benchmarks/RESULTS.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def build_engine(det_size=640):
+    from frp_tpu.config import load_config
+    from frp_tpu.engine.pipeline import RecognitionEngine
+
+    cfg = load_config(det_size=det_size, max_faces_per_frame=16)
+    eng = RecognitionEngine(cfg)
+    rng = np.random.default_rng(0)
+    for i in range(100):
+        eng.gallery.add(f"person_{i}", rng.normal(size=cfg.embed_dim))
+    return eng
+
+
+def scene(h, w, faces, rng):
+    from frp_tpu.train.synthetic import render_face
+
+    rgb = rng.integers(20, 110, size=(h, w, 3), dtype=np.uint8)
+    cols = max(1, int(np.ceil(np.sqrt(faces * w / h))))
+    rows = max(1, int(np.ceil(faces / cols)))
+    k = 0
+    for gy in range(rows):
+        for gx in range(cols):
+            if k >= faces:
+                break
+            size = min(h / rows, w / cols) * float(rng.uniform(0.55, 0.8))
+            cx = (gx + 0.5) * w / cols + float(rng.uniform(-10, 10))
+            cy = (gy + 0.5) * h / rows + float(rng.uniform(-10, 10))
+            render_face(rgb, cx, cy, size, rng)
+            k += 1
+    return np.ascontiguousarray(rgb[..., ::-1])  # BGR
+
+
+def prep(frames, size):
+    from frp_tpu.engine.batching import build_batch_i420
+
+    return build_batch_i420({i: f for i, f in enumerate(frames)}, size)
+
+
+def pipelined(eng, batch, n=30, depth=4):
+    handles = [eng.submit(batch, fmt="yuv420") for _ in range(depth)]
+    t0 = time.perf_counter()
+    for _ in range(n):
+        handles.append(eng.submit(batch, fmt="yuv420"))
+        eng.fetch(handles.pop(0))
+    for h in handles:
+        eng.fetch(h)
+    return (time.perf_counter() - t0) / (n + depth)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="benchmarks/RESULTS.md")
+    args = p.parse_args()
+    rng = np.random.default_rng(0)
+    results = []
+
+    eng = build_engine()
+
+    # --- config 1: single still image, blocking latency ---
+    img = scene(480, 640, 1, rng)
+    batch, _ = prep([img], eng.cfg.det_size)
+    eng.process_frames(batch, fmt="yuv420")  # compile
+    lats = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        out = eng.process_frames(batch, fmt="yuv420")
+        lats.append(time.perf_counter() - t0)
+    p50 = sorted(lats)[len(lats) // 2] * 1000
+    results.append(
+        ("1. single still image (detect+embed+match, 100-face gallery)",
+         f"p50 latency {p50:.1f} ms, faces found {int(out['count'].sum())}")
+    )
+
+    # --- config 2: single 720p stream ---
+    frame720 = scene(720, 1280, 3, rng)
+    b720, _ = prep([frame720], eng.cfg.det_size)
+    eng.process_frames(b720, fmt="yuv420")
+    per = min(pipelined(eng, b720) for _ in range(2))
+    results.append(
+        ("2. single 720p stream (real-time recognition)",
+         f"{1 / per:.1f} fps sustained ({per * 1000:.1f} ms/frame pipelined)")
+    )
+
+    # --- config 3: 4x1080p streams + tracking ---
+    from frp_tpu.platform.tracking import TrackingService
+
+    frames4 = [scene(1080, 1920, 12, rng) for _ in range(4)]
+    b4, meta4 = prep(frames4, eng.cfg.det_size)
+    out4 = eng.process_frames(b4, fmt="yuv420")
+    faces4 = int(out4["count"].sum())
+    per4 = min(pipelined(eng, b4) for _ in range(2))
+    # host tracking cost for the batch's matches
+    tracking = TrackingService(
+        {i: {"name": f"c{i}", "geo": (18.5 + i * 0.01, 73.8)} for i in range(4)},
+        cooldown_seconds=0.0,
+    )
+    t0 = time.perf_counter()
+    for i in range(4):
+        for j in range(out4["valid"].shape[1]):
+            if out4["valid"][i, j]:
+                tracking.record_detection(f"p{j}", i, float(out4["best_distance"][i, j]))
+    track_ms = (time.perf_counter() - t0) * 1000
+    results.append(
+        ("3. 4x1080p streams + cross-camera tracking",
+         f"{4 / per4:.1f} fps aggregate, {faces4 / per4:.0f} faces/s, "
+         f"host tracking {track_ms:.1f} ms per {faces4}-face batch")
+    )
+
+    # --- config 4: co-batched spoof classification ---
+    # spoof rides the same dispatch; isolate by comparing with_spoof on/off
+    eng_nospoof = None
+    try:
+        from frp_tpu.config import load_config
+        from frp_tpu.engine.pipeline import RecognitionEngine
+
+        cfg2 = load_config(det_size=640, max_faces_per_frame=16)
+        eng_nospoof = RecognitionEngine(cfg2, with_spoof=False)
+        eng_nospoof.process_frames(b4, fmt="yuv420")
+        per_ns = min(pipelined(eng_nospoof, b4) for _ in range(2))
+        overhead = (per4 - per_ns) * 1000
+        results.append(
+            ("4. co-batched spoof classification",
+             f"{faces4 / per4:.0f} crops/s classified alongside recognition; "
+             f"marginal cost {overhead:+.1f} ms/batch vs recognition-only")
+        )
+    except Exception as e:
+        results.append(("4. co-batched spoof classification", f"skipped: {e}"))
+
+    # --- config 5: FedAvg round ---
+    from frp_tpu.ops.fedavg import fedavg_combine, resolve_weights
+
+    k, layers = 8, 40
+    rng2 = np.random.default_rng(1)
+    updates = {
+        f"c{i}": {f"layer_{j}": rng2.normal(size=(256, 128)).astype(np.float64)
+                  for j in range(layers)}
+        for i in range(k)
+    }
+    w = resolve_weights(list(updates))
+    t0 = time.perf_counter()
+    fedavg_combine(updates, w)
+    fed_ms = (time.perf_counter() - t0) * 1000
+    params_m = k * layers * 256 * 128 / 1e6
+    results.append(
+        ("5. FedAvg round (8 clients x 1.3M params)",
+         f"{fed_ms:.1f} ms host combine ({params_m:.1f}M param-updates); "
+         "mesh-psum path verified equal in tests")
+    )
+
+    lines = [
+        "# BASELINE.json config measurements",
+        "",
+        f"TPU v5e single chip via serving relay; {time.strftime('%Y-%m-%d')}.",
+        "Protocol: I420 transfer, pipeline depth 4 where streaming;",
+        "scenes rendered with faces so every stage processes real detections.",
+        "",
+        "| Config | Result |",
+        "|---|---|",
+    ]
+    for name, val in results:
+        lines.append(f"| {name} | {val} |")
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
