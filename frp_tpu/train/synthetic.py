@@ -109,7 +109,9 @@ def make_scene(size: int, rng, max_faces: int = 3):
         wdt, hgt = rng.integers(5, size // 3, 2)
         img[y0 : y0 + hgt, x0 : x0 + wdt] = rng.integers(0, 255, 3)
 
-    n = int(rng.integers(1, max_faces + 1))
+    # 20% of scenes are face-free negatives — without them the detector
+    # hallucinates extra boxes on background texture
+    n = 0 if rng.random() < 0.2 else int(rng.integers(1, max_faces + 1))
     boxes = np.zeros((max_faces, 4), np.float32)
     ldms = np.zeros((max_faces, 10), np.float32)
     valid = np.zeros((max_faces,), bool)
