@@ -200,13 +200,27 @@ class Router:
         return lambda fn: (self.add("DELETE", pattern, fn), fn)[1]
 
     def resolve(self, method: str, path: str):
+        # Prefer the most-literal match (fewest path params) so e.g.
+        # POST /camera/bulk/restart wins over /camera/{cam_id}/restart
+        # regardless of registration order; ties keep registration order.
         allowed = set()
+        best = None
         for m, regex, names, handler in self._routes:
             match = regex.match(path)
             if match:
                 if m == method:
-                    return handler, dict(zip(names, match.groups()))
-                allowed.add(m)
+                    if best is None or len(names) < len(best[1]):
+                        best = (handler, names, match)
+                else:
+                    allowed.add(m)
+        if best is not None:
+            handler, names, match = best
+            # percent-decode captures: FastAPI/Starlette route params arrive
+            # decoded, and the reference frontend encodeURIComponent()s names
+            # (api.js:249), so "wanted%20person" must bind as "wanted person"
+            return handler, {
+                n: urllib.parse.unquote(g) for n, g in zip(names, match.groups())
+            }
         if allowed:
             raise HTTPError(405, f"method {method} not allowed (try {sorted(allowed)})")
         return None, None
@@ -233,7 +247,24 @@ class HTTPServer:
     async def _handle_conn(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
         try:
             while True:
-                request = await self._read_request(reader)
+                try:
+                    request = await self._read_request(reader)
+                except HTTPError as e:
+                    # e.g. 413 from the body-size caps: answer properly
+                    # instead of silently dropping the connection.
+                    body = json.dumps({"detail": e.detail}).encode()
+                    status_text = _STATUS_TEXT.get(e.status, "Error")
+                    writer.write(
+                        (
+                            f"HTTP/1.1 {e.status} {status_text}\r\n"
+                            "Content-Type: application/json\r\n"
+                            f"Content-Length: {len(body)}\r\n"
+                            "Connection: close\r\n\r\n"
+                        ).encode()
+                        + body
+                    )
+                    await writer.drain()
+                    break
                 if request is None:
                     break
                 if (
@@ -283,12 +314,18 @@ class HTTPServer:
             body = await reader.readexactly(length)
         elif headers.get("transfer-encoding", "").lower() == "chunked":
             chunks = []
+            total = 0
             while True:
                 size_line = await reader.readline()
                 size = int(size_line.strip() or b"0", 16)
                 if size == 0:
                     await reader.readline()
                     break
+                total += size
+                if total > MAX_BODY:
+                    # A chunked body has no Content-Length to pre-check, so
+                    # the cap must be enforced cumulatively mid-stream.
+                    raise HTTPError(413, "body too large")
                 chunks.append(await reader.readexactly(size))
                 await reader.readline()
             body = b"".join(chunks)

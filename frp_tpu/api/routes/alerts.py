@@ -44,8 +44,15 @@ def register(router, ctx):
     async def get_watchlist(request: Request):
         return json_response({"watchlist": alerts.get_watchlist()})
 
+    @router.post("/alerts/watchlist/{target}")
+    async def add_watchlist_path(request: Request):
+        """Reference contract: POST /alerts/watchlist/{target}
+        (alerts.py:169; the frontend posts this form, api.js:249)."""
+        return json_response(alerts.add_to_watchlist(request.path_params["target"]))
+
     @router.post("/alerts/watchlist")
     async def add_watchlist(request: Request):
+        # JSON-body variant kept as an extension.
         body = request.json() or {}
         target = body.get("target")
         if not target:

@@ -297,28 +297,37 @@ def register(router, ctx):
         ok = await asyncio.to_thread(cam.restart)
         return json_response({"success": ok, "camera": cam.info()})
 
-    @router.post("/camera/restart/all")
-    async def camera_restart_all(request: Request):
+    async def _camera_restart_all(request: Request):
         results = {}
         for cam in ctx.cameras.all():
             results[str(cam.id)] = await asyncio.to_thread(cam.restart)
         return json_response({"success": True, "results": results})
+
+    # Reference contract is POST /camera/bulk/restart (camera.py:749).
+    router.post("/camera/bulk/restart")(_camera_restart_all)
+    router.post("/camera/restart/all")(_camera_restart_all)
 
     @router.get("/camera/{cam_id}/performance")
     async def camera_performance(request: Request):
         cam = _get_camera(request)
         return json_response({**scan_stats.summary(cam.id), "camera": cam.info()})
 
-    @router.get("/camera/performance")
-    async def global_performance(request: Request):
+    async def _global_performance(request: Request):
         return json_response(
             {"per_camera": scan_stats.summary(), "engine": ctx.engine.metrics.as_dict()}
         )
 
-    @router.post("/camera/performance/clear")
-    async def clear_performance(request: Request):
+    # Reference contract is GET /camera/performance/all (camera.py:684).
+    router.get("/camera/performance/all")(_global_performance)
+    router.get("/camera/performance")(_global_performance)
+
+    async def _clear_performance(request: Request):
         scan_stats.per_camera.clear()
         return json_response({"success": True})
+
+    # Reference contract is DELETE /camera/performance/clear (camera.py:785).
+    router.delete("/camera/performance/clear")(_clear_performance)
+    router.post("/camera/performance/clear")(_clear_performance)
 
     @router.get("/camera/health")
     async def camera_health(request: Request):

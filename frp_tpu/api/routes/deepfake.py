@@ -143,13 +143,27 @@ def register(router, ctx):
                 results.append({"file": upload.filename, "error": e.detail})
         return json_response({"count": len(results), "results": results})
 
+    @router.delete("/deepfake/history")
+    async def clear_history(request: Request):
+        """Reference contract: DELETE /deepfake/history (deepfake.py:535)."""
+        return json_response({"success": True, "cleared": df.clear_history()})
+
+    @router.post("/deepfake/stats/reset")
+    async def stats_reset(request: Request):
+        """Reference contract: POST /deepfake/stats/reset (deepfake.py:795)."""
+        return json_response({"success": True, "stats": df.reset_stats()})
+
     @router.get("/deepfake/cache/info")
     async def cache_info(request: Request):
         return json_response(df.cache_info())
 
-    @router.post("/deepfake/cache/clear")
-    async def cache_clear(request: Request):
+    async def _cache_clear(request: Request):
         return json_response({"cleared": df.clear_cache()})
+
+    # Reference contract is DELETE /deepfake/cache (deepfake.py:758); the
+    # POST /cache/clear variant is kept as an extension.
+    router.delete("/deepfake/cache")(_cache_clear)
+    router.post("/deepfake/cache/clear")(_cache_clear)
 
     @router.get("/deepfake/config")
     async def config(request: Request):

@@ -17,16 +17,55 @@ def _weights_to_json(weights: dict) -> dict:
     return {k: np.asarray(v).tolist() for k, v in weights.items()}
 
 
+def _client_status_payload(fl, client_id: str) -> dict:
+    """Per-client status with the reference's response shape
+    (federated.py:271-346): weights + layers + client_info + metrics.
+    A missing client is NOT a 404 there — it returns success with a hint."""
+    w = fl.get_weights(client_id)
+    if w is None:
+        return {
+            "status": "success",
+            "client_id": client_id,
+            "weights": {},
+            "message": "No weights found for this client",
+            "suggestion": "Client needs to upload weights first",
+        }
+    info = next(
+        (c for c in fl.list_clients() if c.get("client_id") == client_id), {}
+    )
+    metrics = fl.get_client_metrics(client_id)
+    top = fl.status()
+    return {
+        "status": "success",
+        "client_id": client_id,
+        "weights": _weights_to_json(w),
+        "layers": sorted(w.keys()),
+        "client_info": {
+            "last_update": info.get("last_upload"),
+            "round": top["round"],
+            "contribution_count": info.get("contribution_count", 0),
+            "status": "active" if client_id in top["active_clients"] else "inactive",
+        },
+        "metrics": {
+            "total_updates": metrics.get("uploads", 0),
+            "rounds_participated": metrics.get("uploads", 0),
+        },
+        "global_model_version": top["version"],
+    }
+
+
 def register(router, ctx):
     fl = ctx.federated
 
     @router.post("/face/fl/upload_weights")
     async def upload_weights(request: Request):
         body = request.json() or {}
-        client_id = body.get("client_id")
+        # The reference's pydantic field is 'target' (federated.py:63-64) and
+        # the frontend posts {target, weights} (api.js:220-227); accept both.
+        client_id = body.get("target") or body.get("client_id")
         weights = body.get("weights")
         if not client_id or not isinstance(weights, dict):
-            raise HTTPError(422, "'client_id' and 'weights' (dict of layers) required")
+            raise HTTPError(422, "'target' and 'weights' (dict of layers) required")
         try:
             result = await asyncio.to_thread(fl.upload_weights, client_id, weights)
         except FedAvgError as e:
@@ -36,11 +75,17 @@ def register(router, ctx):
     @router.post("/face/fl/aggregate")
     async def aggregate(request: Request):
         body = request.json() or {}
+        # Reference AggregationConfig (federated.py:83-88): client_selection
+        # + weights_strategy equal|contribution; our names kept as extensions.
+        client_ids = body.get("client_ids") or body.get("client_selection")
+        proportional = bool(body.get("proportional", False)) or (
+            body.get("weights_strategy") == "contribution"
+        )
         try:
             result = await asyncio.to_thread(
                 fl.aggregate,
-                body.get("client_ids"),
-                bool(body.get("proportional", False)),
+                client_ids,
+                proportional,
                 body.get("min_clients"),
             )
         except FedAvgError as e:
@@ -49,17 +94,26 @@ def register(router, ctx):
 
     @router.get("/face/fl/status")
     async def status(request: Request):
+        # Reference /status requires client_id and returns that client's
+        # stored weights (federated.py:271-346); the no-param variant is our
+        # extension returning the whole-system summary.
+        client_id = request.query.get("client_id")
+        if client_id:
+            return json_response(_client_status_payload(fl, client_id))
         return json_response(fl.status())
 
     @router.get("/face/fl/get_weights")
     async def get_weights(request: Request):
-        name = request.query.get("client_id") or request.query.get("name")
+        # Reference: GET /get_weights?target=X == /status?client_id=X
+        # (federated.py:352-354; frontend api.js:218 passes 'target').
+        name = (
+            request.query.get("target")
+            or request.query.get("client_id")
+            or request.query.get("name")
+        )
         if not name:
-            return json_response(fl.status())  # alias behavior (federated.py:352-354)
-        w = fl.get_weights(name)
-        if w is None:
-            raise HTTPError(404, f"no weights stored for '{name}'")
-        return json_response({"name": name, "weights": _weights_to_json(w)})
+            raise HTTPError(422, "'target' query parameter required")
+        return json_response(_client_status_payload(fl, name))
 
     @router.delete("/face/fl/weights/{name}")
     async def delete_weights(request: Request):
@@ -68,24 +122,39 @@ def register(router, ctx):
             raise HTTPError(404, "weights not found")
         return json_response(result)
 
-    @router.get("/face/fl/clients")
-    async def clients(request: Request):
+    async def _list_clients(request: Request):
         return json_response({"clients": fl.list_clients()})
 
-    @router.post("/face/fl/clients/register")
-    async def register_client(request: Request):
+    # Reference path is /face/fl/list (federated.py:417); /clients kept too.
+    router.get("/face/fl/list")(_list_clients)
+    router.get("/face/fl/clients")(_list_clients)
+
+    async def _register_client(request: Request):
         body = request.json() or {}
         client_id = body.get("client_id")
         if not client_id:
             raise HTTPError(422, "'client_id' required")
-        return json_response(fl.register_client(client_id, body.get("info")))
+        # Reference ClientConfig carries client_name/metadata (federated.py:90-93).
+        info = body.get("info") or {}
+        if body.get("client_name"):
+            info["client_name"] = body["client_name"]
+        if body.get("metadata"):
+            info["metadata"] = body["metadata"]
+        return json_response(fl.register_client(client_id, info or None))
 
-    @router.delete("/face/fl/clients/{client_id}")
-    async def unregister_client(request: Request):
+    # Reference path is /face/fl/register (federated.py:489).
+    router.post("/face/fl/register")(_register_client)
+    router.post("/face/fl/clients/register")(_register_client)
+
+    async def _unregister_client(request: Request):
         result = fl.unregister_client(request.path_params["client_id"])
         if not result["success"]:
             raise HTTPError(404, "client not found")
         return json_response(result)
+
+    # Reference path is DELETE /face/fl/unregister/{client_id} (federated.py:534).
+    router.delete("/face/fl/unregister/{client_id}")(_unregister_client)
+    router.delete("/face/fl/clients/{client_id}")(_unregister_client)
 
     @router.get("/face/fl/global_model")
     async def global_model(request: Request):
@@ -99,20 +168,26 @@ def register(router, ctx):
              "weights": _weights_to_json(weights)}
         )
 
-    @router.get("/face/fl/history")
-    async def history(request: Request):
+    async def _history(request: Request):
         return json_response({"history": fl.get_history()})
+
+    # Reference path is /face/fl/aggregation/history (federated.py:775).
+    router.get("/face/fl/aggregation/history")(_history)
+    router.get("/face/fl/history")(_history)
 
     @router.get("/face/fl/stats")
     async def stats(request: Request):
         return json_response(fl.get_stats())
 
-    @router.get("/face/fl/clients/{client_id}/metrics")
-    async def client_metrics(request: Request):
+    async def _client_metrics(request: Request):
         m = fl.get_client_metrics(request.path_params["client_id"])
         if not m:
             raise HTTPError(404, "no metrics for client")
         return json_response(m)
+
+    # Reference path is /face/fl/client/{id}/metrics (federated.py:880).
+    router.get("/face/fl/client/{client_id}/metrics")(_client_metrics)
+    router.get("/face/fl/clients/{client_id}/metrics")(_client_metrics)
 
     @router.post("/face/fl/reset")
     async def reset(request: Request):

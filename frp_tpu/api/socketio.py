@@ -120,6 +120,23 @@ class SocketIOServer:
     async def handle_upgrade(self, request, reader, writer):
         """Entry from HTTPServer on Upgrade: websocket."""
         self._loop = asyncio.get_running_loop()
+        # Validate the upgrade target BEFORE completing the handshake
+        # (RFC 6455 §4.2.2: a failed opening handshake must be an HTTP error,
+        # not a 101 followed by a hangup).
+        if not request.path.startswith(self.path.rstrip("/")):
+            body = b'{"detail": "Not Found"}'
+            writer.write(
+                (
+                    "HTTP/1.1 404 Not Found\r\n"
+                    "Content-Type: application/json\r\n"
+                    f"Content-Length: {len(body)}\r\n"
+                    "Connection: close\r\n\r\n"
+                ).encode()
+                + body
+            )
+            await writer.drain()
+            writer.close()
+            return
         key = request.headers.get("sec-websocket-key", "")
         resp = (
             "HTTP/1.1 101 Switching Protocols\r\n"
@@ -129,10 +146,6 @@ class SocketIOServer:
         )
         writer.write(resp.encode())
         await writer.drain()
-
-        if not request.path.startswith(self.path.rstrip("/")):
-            writer.close()
-            return
 
         sid = uuid.uuid4().hex
         open_packet = "0" + json.dumps(
@@ -168,7 +181,11 @@ class SocketIOServer:
         try:
             while True:
                 packet = await queue.get()
-                writer.write(encode_frame(packet.encode()))
+                if isinstance(packet, bytes):
+                    # pre-encoded raw frame (e.g. a WS-level pong)
+                    writer.write(packet)
+                else:
+                    writer.write(encode_frame(packet.encode()))
                 await writer.drain()
         except (asyncio.CancelledError, ConnectionResetError, BrokenPipeError):
             pass
@@ -187,8 +204,9 @@ class SocketIOServer:
             if frame is None:
                 return
             opcode, payload = frame
-            if opcode == 0x9:  # ws ping -> ws pong
-                queue.put_nowait("")  # handled below as raw pong
+            if opcode == 0x9:  # ws ping -> ws pong (RFC 6455 §5.5.3:
+                # pong must carry the ping's application data verbatim)
+                queue.put_nowait(encode_frame(payload, opcode=0xA))
                 continue
             if opcode != 0x1:
                 continue

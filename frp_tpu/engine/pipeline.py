@@ -443,13 +443,15 @@ class RecognitionEngine:
                             raise ValueError("structure mismatch")
                         host_params[model] = new
                         loaded[model] = path
+                        break  # only stop at the first SUCCESSFUL load —
+                        # a corrupt retinaface.npz must still fall through
+                        # to retinaface_synthetic.npz
                     except (ValueError, OSError, KeyError) as e:
                         import logging
 
                         logging.getLogger("frp.engine").warning(
                             "weights %s not loaded: %s", path, e
                         )
-                    break
                 if loaded[model]:
                     break
         return loaded

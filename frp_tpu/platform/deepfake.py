@@ -268,6 +268,20 @@ class DeepfakeService:
         with self._lock:
             return list(self.history)[-limit:]
 
+    def clear_history(self) -> int:
+        """DELETE /deepfake/history (reference deepfake.py:535-549)."""
+        with self._lock:
+            n = len(self.history)
+            self.history.clear()
+        return n
+
+    def reset_stats(self) -> dict:
+        """POST /deepfake/stats/reset (reference deepfake.py:795-807)."""
+        with self._lock:
+            for k in self.stats:
+                self.stats[k] = 0.0 if k == "total_processing_time" else 0
+            return dict(self.stats)
+
     def cache_info(self) -> dict:
         with self._lock:
             return {"entries": len(self._cache), "ttl_seconds": self.cache_ttl}

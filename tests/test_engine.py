@@ -137,3 +137,23 @@ def test_gallery_growth_and_swap_remove():
     assert np.all(g.get("p4") == 4)
     dev_mat, dev_valid = g.device_arrays()
     assert int(np.asarray(dev_valid).sum()) == 4
+
+
+def test_load_weights_falls_through_corrupt_candidate(tmp_path):
+    """A corrupt first candidate (spoof.npz) must not stop the loader from
+    trying the next one (mobilenetv3.npz) — round-1 'break' bug."""
+    import types
+
+    from frp_tpu.engine.pipeline import RecognitionEngine
+    from frp_tpu.models.mobilenetv3 import init_mobilenetv3_small
+    from frp_tpu.models.params import save_params
+
+    params = init_mobilenetv3_small(0)
+    (tmp_path / "spoof.npz").write_bytes(b"not an npz at all")
+    save_params(str(tmp_path / "mobilenetv3.npz"), params)
+    shim = types.SimpleNamespace(cfg=types.SimpleNamespace(weights_dir=str(tmp_path)))
+    loaded = RecognitionEngine._load_weights(
+        shim, {"spoof": params}, arch="mobilefacenet"
+    )
+    assert loaded["spoof"] is not None
+    assert loaded["spoof"].endswith("mobilenetv3.npz")

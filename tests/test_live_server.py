@@ -196,3 +196,103 @@ def test_socketio_handshake_and_event_push(server_port):
         writer.close()
 
     asyncio.run(go())
+
+
+def test_chunked_body_roundtrip_and_oversize_413(server_port):
+    """Chunked transfer-encoding: a small body parses; a chunk stream whose
+    cumulative size exceeds MAX_BODY is answered with a real 413 response
+    (not a silent connection drop)."""
+    port, ctx = server_port
+
+    async def go():
+        # small chunked JSON body
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        payload = json.dumps({"weights": {"w": [1.0, 2.0]}}).encode()
+        half = len(payload) // 2
+        chunks = b"".join(
+            b"%x\r\n%s\r\n" % (len(c), c) for c in (payload[:half], payload[half:])
+        ) + b"0\r\n\r\n"
+        writer.write(
+            b"POST /face/fl/validate HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Type: application/json\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n" + chunks
+        )
+        await writer.drain()
+        line = await reader.readline()
+        assert b"200" in line, line
+        writer.close()
+
+        # oversize: declare one chunk far past MAX_BODY; server must answer
+        # 413 without waiting for the (never-sent) data
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        writer.write(
+            b"POST /face/fl/validate HTTP/1.1\r\nHost: x\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n"
+            b"C800000\r\n"  # 0xC800000 = 200 MB > MAX_BODY
+        )
+        await writer.drain()
+        line = await asyncio.wait_for(reader.readline(), 5)
+        assert b"413" in line, line
+        writer.close()
+
+    asyncio.run(go())
+
+
+def test_ws_ping_answered_with_pong_payload_echo(server_port):
+    """RFC 6455 5.5.3: a ping must be answered with a pong carrying the
+    ping's application data (round 1 sent an empty TEXT frame instead)."""
+    port, ctx = server_port
+
+    async def go():
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        key = base64.b64encode(os.urandom(16)).decode()
+        writer.write(
+            (
+                f"GET /socket.io/?EIO=4&transport=websocket HTTP/1.1\r\n"
+                f"Host: localhost\r\nUpgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+            ).encode()
+        )
+        await writer.drain()
+        assert b"101" in await reader.readline()
+        while (await reader.readline()) not in (b"\r\n", b""):
+            pass
+        await asyncio.wait_for(read_frame(reader), 5)  # engine.io open
+
+        # masked client ping with payload
+        data = b"keepalive-7"
+        mask = os.urandom(4)
+        masked = bytes(b ^ mask[i % 4] for i, b in enumerate(data))
+        writer.write(bytes([0x89, 0x80 | len(data)]) + mask + masked)
+        await writer.drain()
+        while True:
+            op, payload = await asyncio.wait_for(read_frame(reader), 5)
+            if op == 0xA:
+                assert payload == data
+                break
+        writer.close()
+
+    asyncio.run(go())
+
+
+def test_ws_upgrade_on_wrong_path_is_http_error(server_port):
+    """Upgrade to a non-socket.io path must fail the handshake with an HTTP
+    error, not a 101 followed by a hangup."""
+    port, ctx = server_port
+
+    async def go():
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        key = base64.b64encode(os.urandom(16)).decode()
+        writer.write(
+            (
+                f"GET /not-socket-io HTTP/1.1\r\n"
+                f"Host: localhost\r\nUpgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+            ).encode()
+        )
+        await writer.drain()
+        line = await asyncio.wait_for(reader.readline(), 5)
+        assert b"404" in line, line
+        writer.close()
+
+    asyncio.run(go())
