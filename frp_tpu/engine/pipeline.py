@@ -324,13 +324,75 @@ def build_stages(
         # I420 -> RGB uint8 once; detect + crop reuse the device-resident RGB
         return yuv420_to_rgb(yuv).astype(jnp.uint8)
 
+    def pack_stage(dets, crop_out, emb_out, match_out):
+        """Concatenate every per-face scalar output into ONE [B, M, 22] f32
+        array (layout: PACKED_LAYOUT). The serving relay charges ~29 ms per
+        host sync in its degraded mode (measured, benchmarks/
+        profile_transfer.py) — fetching one packed array instead of a
+        14-leaf tree turns 14 potential syncs into exactly one."""
+        b, m = dets["valid"].shape
+        cols = [
+            dets["boxes"],                                   # 0:4
+            dets["landmarks"],                               # 4:14
+            dets["scores"][..., None],                       # 14
+            dets["valid"].astype(jnp.float32)[..., None],    # 15
+            match_out["best_idx"].astype(jnp.float32)[..., None],   # 16
+            match_out["best_distance"][..., None],           # 17
+            match_out["is_match"].astype(jnp.float32)[..., None],   # 18
+            emb_out.get(
+                "fake_prob", jnp.zeros((b, m), jnp.float32)
+            )[..., None],                                    # 19
+            crop_out.get(
+                "quality", jnp.zeros((b, m), jnp.float32)
+            )[..., None],                                    # 20
+            crop_out.get(
+                "blur_score", jnp.zeros((b, m), jnp.float32)
+            )[..., None],                                    # 21
+        ]
+        return jnp.concatenate(
+            [c.astype(jnp.float32) for c in cols], axis=-1
+        )
+
     return {
         "ingest": jax.jit(ingest_stage),
         "detect": jax.jit(detect_stage),
         "crop": jax.jit(crop_stage),
         "embed": jax.jit(embed_stage),
         "match": jax.jit(match_stage),
+        "pack": jax.jit(pack_stage),
     }
+
+
+# column layout of the pack_stage output (see engine.unpack_packed)
+PACKED_LAYOUT = {
+    "boxes": (0, 4),
+    "landmarks": (4, 14),
+    "scores": (14, 15),
+    "valid": (15, 16),
+    "best_idx": (16, 17),
+    "best_distance": (17, 18),
+    "is_match": (18, 19),
+    "fake_prob": (19, 20),
+    "quality": (20, 21),
+    "blur_score": (21, 22),
+}
+PACKED_WIDTH = 22
+
+
+def unpack_packed(arr: np.ndarray) -> dict:
+    """Host-side inverse of pack_stage: [B, M, 22] f32 -> result dict with the
+    same keys/dtypes as the full-tree path (embeddings/topk excluded)."""
+    arr = np.asarray(arr)
+    out: dict = {}
+    for key, (lo, hi) in PACKED_LAYOUT.items():
+        v = arr[..., lo:hi]
+        out[key] = v if hi - lo > 1 else v[..., 0]
+    out["valid"] = out["valid"] > 0.5
+    out["is_match"] = out["is_match"] > 0.5
+    out["best_idx"] = out["best_idx"].astype(np.int32)
+    out["count"] = out["valid"].sum(axis=1).astype(np.int32)
+    out["best_distance"] = np.where(out["valid"], out["best_distance"], np.inf)
+    return out
 
 
 @dataclass
@@ -457,7 +519,9 @@ class RecognitionEngine:
         return loaded
 
     # -- staged dispatch ------------------------------------------------
-    def _run_stages(self, frames_dev, tolerance: float, fmt: str = "rgb"):
+    def _run_stages(
+        self, frames_dev, tolerance: float, fmt: str = "rgb", packed: bool = False
+    ):
         """Chain the four device-resident stages; returns the device-side
         result dict (all leaves still on device, fetch with jax.device_get).
         Sharded variant: when a mesh is set, the frame batch is placed with a
@@ -479,6 +543,10 @@ class RecognitionEngine:
             emb["embeddings_flat"], dets["valid"], gal, gal_valid,
             float(tolerance),  # python float: traced weak scalar, no eager op
         )
+        if packed:
+            # one [B, M, 22] array -> a batch fetch costs exactly ONE host
+            # sync through the relay (see pack_stage docstring)
+            return self._stages["pack"](dets, cropped, emb, matched)
         out = {
             "boxes": dets["boxes"],
             "scores": dets["scores"],
@@ -561,23 +629,51 @@ class RecognitionEngine:
         self.process_frames(dummy)
 
     # -- async submission (overlaps h2d transfer + compute across batches) ---
-    def submit(self, frames: np.ndarray, tolerance: float | None = None, fmt: str = "rgb"):
+    def submit(
+        self,
+        frames: np.ndarray,
+        tolerance: float | None = None,
+        fmt: str = "rgb",
+        packed: bool = True,
+    ):
         """Dispatch a batch without blocking; returns a handle for fetch().
         Used by the camera scan loop and bench to pipeline h2d transfer and
-        device compute across consecutive batches."""
+        device compute across consecutive batches. With ``packed=True``
+        (default) the result rides back as one [B, M, 22] array — one host
+        sync per fetch instead of one per tree leaf (the serving relay's
+        degraded mode charges ~29 ms/sync; benchmarks/profile_transfer.py).
+        Pass packed=False when embeddings/topk are needed (enrollment)."""
         tolerance = self.cfg.face_tolerance if tolerance is None else tolerance
         frames = np.ascontiguousarray(frames, dtype=np.uint8)
         if frames.ndim == 3 and fmt == "rgb":
             frames = frames[None]
         b = frames.shape[0]
-        return self._run_stages(self._put_frames(frames), tolerance, fmt), b
+        out = self._run_stages(self._put_frames(frames), tolerance, fmt, packed)
+        return out, b, packed
 
     def fetch(self, handle):
         """Block on a submit() handle and return host-side results."""
-        out, b = handle
-        out = jax.device_get(out)
+        out, b, packed = handle
+        out = unpack_packed(jax.device_get(out)) if packed else jax.device_get(out)
         with self._lock:
             self.metrics.total_batches += 1
             self.metrics.total_frames += b
             self.metrics.total_faces += int(out["count"].sum())
         return out
+
+    def fetch_many(self, handles: list):
+        """Fetch a GROUP of submit() handles with a single jax.device_get —
+        the relay charges per sync, not per byte, for small results, so
+        draining k batches together costs one sync instead of k. Returns a
+        list of host-side result dicts in submission order."""
+        devs = [h[0] for h in handles]
+        got = jax.device_get(devs)
+        outs = []
+        for (_, b, packed), g in zip(handles, got):
+            out = unpack_packed(g) if packed else g
+            with self._lock:
+                self.metrics.total_batches += 1
+                self.metrics.total_frames += b
+                self.metrics.total_faces += int(out["count"].sum())
+            outs.append(out)
+        return outs

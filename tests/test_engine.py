@@ -157,3 +157,32 @@ def test_load_weights_falls_through_corrupt_candidate(tmp_path):
     )
     assert loaded["spoof"] is not None
     assert loaded["spoof"].endswith("mobilenetv3.npz")
+
+
+def test_packed_results_match_full_tree(engine):
+    """submit(packed=True) -> unpack must agree with the full-dict path on
+    every shared key (the packed [B, M, 22] array is the serving fast path)."""
+    frames = np.random.default_rng(7).integers(0, 255, (2, DET, DET, 3), np.uint8)
+    full = engine.process_frames(frames)
+    out = engine.fetch(engine.submit(frames, packed=True))
+    for key in ("boxes", "landmarks", "scores", "valid", "best_idx",
+                "is_match", "fake_prob", "quality", "count"):
+        np.testing.assert_allclose(
+            np.asarray(out[key], np.float64),
+            np.asarray(full[key], np.float64),
+            rtol=1e-5, atol=1e-5, err_msg=key,
+        )
+    # best_distance: inf on invalid slots in both
+    v = full["valid"]
+    np.testing.assert_allclose(out["best_distance"][v], full["best_distance"][v],
+                               rtol=1e-5, atol=1e-5)
+    assert np.all(np.isinf(out["best_distance"][~v]))
+
+
+def test_fetch_many_groups_batches(engine):
+    frames = np.random.default_rng(8).integers(0, 255, (1, DET, DET, 3), np.uint8)
+    handles = [engine.submit(frames) for _ in range(3)]
+    outs = engine.fetch_many(handles)
+    assert len(outs) == 3
+    for o in outs:
+        assert o["boxes"].shape == (1, 4, 4) and o["count"].shape == (1,)
