@@ -79,6 +79,7 @@ def build_pipeline(
     with_quality: bool = True,
     compute_dtype: str = "bfloat16",
     spoof_size: int = 112,
+    distance_scale: float = 1.0,
 ):
     """Build the pure pipeline function (params, frames, gallery) -> results.
 
@@ -141,7 +142,8 @@ def build_pipeline(
         flat = crops.reshape(b * m, 112, 112, 3)
         emb_in = normalize_face(flat).astype(jnp.dtype(compute_dtype))
         emb = mobilefacenet_forward(params["embedder"], emb_in)  # [B*M, D] f32
-        emb = jnp.where(valid.reshape(-1, 1), emb, 0.0)
+        # distance-scale calibration (see build_stages.embed_stage)
+        emb = jnp.where(valid.reshape(-1, 1), emb * distance_scale, 0.0)
 
         # --- match ---
         match = gallery_match(
@@ -285,12 +287,17 @@ def build_stages(
             out["blur_score"] = q["blur_score"].reshape(b, m)
         return out
 
-    def embed_stage(params, crops, valid):
+    def embed_stage(params, crops, valid, scale=1.0):
         b, m = crops.shape[0], crops.shape[1]
         flat = crops.reshape(b * m, 112, 112, 3)
         emb_in = normalize_face(flat).astype(cdtype)
         emb = embedder_forward(params["embedder"], emb_in)
-        emb = jnp.where(valid.reshape(-1, 1), emb, 0.0)
+        # distance-scale calibration: scaling embeddings scales every
+        # downstream euclidean distance (gallery match, dup check,
+        # clustering) into the reference's 0.3/0.4/0.6 band geometry —
+        # the constant is measured on a labeled pair set
+        # (tools/calibrate_embedder.py, weights/calibration.json)
+        emb = jnp.where(valid.reshape(-1, 1), emb * scale, 0.0)
         out = {"embeddings_flat": emb}
         if with_spoof:
             scrops = flat
@@ -452,6 +459,7 @@ class RecognitionEngine:
             "spoof": init_mobilenetv3_small(seed + 2, num_classes=2),
         }
         self.weights_loaded = self._load_weights(host_params, arch)
+        self.distance_scale = self._load_calibration()
         self.params = jax.device_put(host_params)
         self.gallery = DeviceGallery(embed_dim=self.cfg.embed_dim)
         self.metrics = EngineMetrics()
@@ -467,6 +475,25 @@ class RecognitionEngine:
             compute_dtype=self.cfg.compute_dtype,
             embedder_forward=self._embedder_forward,
         )
+
+    def _load_calibration(self) -> float:
+        """Distance-scale constant from weights_dir/calibration.json (written
+        by tools/calibrate_embedder.py; 1.0 when absent). Only applied when
+        trained embedder weights actually loaded — the constant is keyed to
+        them."""
+        import json
+        import os
+
+        if not self.weights_loaded.get("embedder"):
+            return 1.0
+        path = os.path.join(
+            os.path.dirname(self.weights_loaded["embedder"]), "calibration.json"
+        )
+        try:
+            with open(path) as f:
+                return float(json.load(f)["distance_scale"])
+        except (OSError, KeyError, ValueError):
+            return 1.0
 
     def _load_weights(self, host_params: dict, arch: str) -> dict:
         """Load trained weights from cfg.weights_dir when present (the engine
@@ -484,10 +511,32 @@ class RecognitionEngine:
         roots = [wd, os.path.join(os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__)))), wd)]
         candidates = {
-            "detector": ["retinaface.npz", "retinaface_synthetic.npz"],
-            "embedder": [f"{arch}.npz", "embedder.npz"],
-            "spoof": ["spoof.npz", "mobilenetv3.npz"],
+            "detector": ["retinaface.npz", "retinaface_synthetic.npz",
+                         "retinaface.onnx"],
+            "embedder": [f"{arch}.npz", "embedder.npz", "embedder.onnx"],
+            "spoof": ["spoof.npz", "mobilenetv3.npz", "spoof.onnx"],
         }
+
+        def _load_any(path, ref_tree):
+            """npz -> load_params; onnx -> structural import into a copy of
+            our init tree (real pretrained weights drop in when a user
+            provides e.g. an InsightFace export; models/params.py)."""
+            if path.endswith(".onnx"):
+                import copy
+
+                from frp_tpu.models.params import import_onnx_weights, load_onnx_tensors
+
+                tensors = load_onnx_tensors(path)
+                if tensors is None:
+                    raise ValueError("unreadable/empty onnx")
+                # deepcopy, NOT tree_map: tree_map sorts dict keys, which
+                # breaks the construction-order walk the structural importer
+                # matches by
+                new = copy.deepcopy(ref_tree)
+                import_onnx_weights(new, tensors)  # raises on mismatch
+                return new
+            return load_params(path)
+
         for model, names in candidates.items():
             loaded[model] = None
             for root in roots:
@@ -496,7 +545,7 @@ class RecognitionEngine:
                     if not os.path.exists(path):
                         continue
                     try:
-                        new = load_params(path)
+                        new = _load_any(path, host_params[model])
                         ref = jax.tree_util.tree_leaves(host_params[model])
                         got = jax.tree_util.tree_leaves(new)
                         if len(ref) != len(got) or any(
@@ -538,6 +587,7 @@ class RecognitionEngine:
             {"embedder": self.params["embedder"], "spoof": self.params["spoof"]},
             cropped["crops"],
             dets["valid"],
+            self.distance_scale,
         )
         matched = self._stages["match"](
             emb["embeddings_flat"], dets["valid"], gal, gal_valid,

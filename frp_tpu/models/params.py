@@ -175,6 +175,145 @@ def _group_torch_modules(state: dict) -> list:
     return units
 
 
+# ---------------------------------------------------------------------------
+# ONNX importer (no onnx/onnxruntime in the image: minimal protobuf reader)
+# ---------------------------------------------------------------------------
+# The reference's pretrained detector/embedder ship as InsightFace ONNX
+# models (``deepfake_utils.py:39-54``). This reads the initializer tensors
+# straight out of the ONNX protobuf so real pretrained weights can drop into
+# our pytrees when such a file is available (VERDICT round 1, item 3a).
+
+_ONNX_DTYPES = {
+    1: np.float32, 2: np.uint8, 3: np.int8, 4: np.uint16, 5: np.int16,
+    6: np.int32, 7: np.int64, 9: np.bool_, 10: np.float16, 11: np.float64,
+    12: np.uint32, 13: np.uint64,
+}
+
+
+def _pb_varint(buf: bytes, i: int) -> tuple[int, int]:
+    result = shift = 0
+    while True:
+        b = buf[i]
+        i += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, i
+        shift += 7
+
+
+def _pb_fields(buf: bytes):
+    """Yield (field_number, wire_type, value) from a protobuf message body.
+    Length-delimited values come back as bytes; varints as ints."""
+    i = 0
+    n = len(buf)
+    while i < n:
+        key, i = _pb_varint(buf, i)
+        field, wire = key >> 3, key & 7
+        if wire == 0:  # varint
+            val, i = _pb_varint(buf, i)
+        elif wire == 1:  # fixed64
+            val, i = buf[i : i + 8], i + 8
+        elif wire == 2:  # length-delimited
+            ln, i = _pb_varint(buf, i)
+            val, i = buf[i : i + ln], i + ln
+        elif wire == 5:  # fixed32
+            val, i = buf[i : i + 4], i + 4
+        else:  # pragma: no cover - groups are long-deprecated
+            raise ValueError(f"unsupported protobuf wire type {wire}")
+        yield field, wire, val
+
+
+def _parse_tensorproto(buf: bytes) -> tuple[str, np.ndarray]:
+    """TensorProto: 1=dims 2=data_type 4=float_data 5=int32_data 7=int64_data
+    8=name 9=raw_data 10=double_data (onnx/onnx.proto3)."""
+    dims: list[int] = []
+    dtype = np.float32
+    name = ""
+    raw = None
+    typed: list[np.ndarray] = []
+    for field, wire, val in _pb_fields(buf):
+        if field == 1:
+            if wire == 0:
+                dims.append(val)
+            else:  # packed repeated int64
+                i = 0
+                while i < len(val):
+                    d, i = _pb_varint(val, i)
+                    dims.append(d)
+        elif field == 2:
+            dtype = _ONNX_DTYPES.get(val, np.float32)
+        elif field == 8:
+            name = val.decode("utf-8", "replace")
+        elif field == 9:
+            raw = val
+        elif field == 4:
+            typed.append(np.frombuffer(val, np.float32) if wire == 2
+                         else np.frombuffer(bytes(val), np.float32))
+        elif field == 7:
+            if wire == 2:  # packed varints
+                vals, i = [], 0
+                while i < len(val):
+                    v, i = _pb_varint(val, i)
+                    vals.append(v)
+                typed.append(np.asarray(vals, np.int64))
+            else:
+                typed.append(np.asarray([val], np.int64))
+        elif field == 10:
+            typed.append(np.frombuffer(val, np.float64))
+    if raw is not None:
+        arr = np.frombuffer(raw, dtype=dtype)
+    elif typed:
+        arr = np.concatenate(typed).astype(dtype)
+    else:
+        arr = np.zeros(0, dtype)
+    return name, arr.reshape(dims) if dims else arr
+
+
+def load_onnx_tensors(path: str) -> dict | None:
+    """Extract {name: np.ndarray} initializers from an ONNX file.
+
+    ModelProto field 7 = graph; GraphProto field 5 = initializer (repeated
+    TensorProto). Returns None for missing/empty/undecodable files (same
+    honest-absence semantics as import_pth_state_dict)."""
+    if not os.path.exists(path) or os.path.getsize(path) == 0:
+        return None
+    try:
+        with open(path, "rb") as f:
+            buf = f.read()
+        graph = None
+        for field, wire, val in _pb_fields(buf):
+            if field == 7 and wire == 2:
+                graph = val
+                break
+        if graph is None:
+            return None
+        out = {}
+        for field, wire, val in _pb_fields(graph):
+            if field == 5 and wire == 2:
+                name, arr = _parse_tensorproto(val)
+                out[name] = arr
+        return out or None
+    except Exception:
+        return None
+
+
+def import_onnx_weights(params, tensors: dict) -> int:
+    """Structurally map ONNX initializer tensors onto our param pytree.
+
+    4-d tensors arrive OIHW (the ONNX conv convention) and are transposed to
+    HWIO first; dotted names group into typed modules exactly like a torch
+    state dict (torch-exported ONNX keeps them), so the torch mapper is
+    reused. Returns tensors copied; raises ValueError on structure mismatch.
+    """
+    state = {}
+    for name, arr in tensors.items():
+        arr = np.asarray(arr)
+        if arr.ndim == 4:
+            arr = arr.transpose(2, 3, 1, 0)
+        state[name] = arr
+    return import_torch_weights(params, state)
+
+
 def import_torch_weights(params, state_dict: dict) -> int:
     """Structurally map a torch state dict onto our param pytree IN PLACE.
 

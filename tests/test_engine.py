@@ -40,10 +40,11 @@ def test_process_frames_contract(engine):
     assert np.all(out["boxes"][inv] == 0)
     assert np.all(np.isinf(out["best_distance"][inv]))
     assert not np.any(out["is_match"][inv])
-    # embeddings of valid faces are L2-normalized
+    # embeddings of valid faces are unit-normalized then multiplied by the
+    # measured distance-scale calibration (weights/calibration.json)
     if out["valid"].any():
         norms = np.linalg.norm(out["embeddings"][out["valid"]], axis=-1)
-        np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+        np.testing.assert_allclose(norms, engine.distance_scale, atol=1e-3)
     assert engine.metrics.total_frames >= 2
 
 
@@ -73,6 +74,7 @@ def test_fused_equals_staged(engine):
     kw = dict(
         det_size=DET, max_faces=4, pre_nms_topk=64,
         conf_thresh=0.3, with_spoof=True,
+        distance_scale=engine.distance_scale,
     )
     priors = jax.device_put(generate_anchors(DET))
     fused = jax.jit(build_pipeline(**kw))(

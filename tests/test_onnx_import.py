@@ -1,0 +1,157 @@
+"""ONNX weight-import path (models/params.py): a hand-serialized ONNX
+protobuf round-trips through load_onnx_tensors and maps structurally onto a
+param pytree — the drop-in slot for real InsightFace/ArcFace exports
+(reference deepfake_utils.py:39-54)."""
+
+import numpy as np
+import pytest
+
+from frp_tpu.models.params import (
+    import_onnx_weights,
+    load_onnx_tensors,
+)
+
+
+# --- minimal protobuf writers (test-side mirror of the reader) -------------
+
+def _varint(v: int) -> bytes:
+    out = b""
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def _field(num: int, wire: int, payload) -> bytes:
+    key = _varint((num << 3) | wire)
+    if wire == 0:
+        return key + _varint(payload)
+    return key + _varint(len(payload)) + payload
+
+
+def _tensorproto(name: str, arr: np.ndarray) -> bytes:
+    body = b""
+    for d in arr.shape:
+        body += _field(1, 0, d)  # dims
+    body += _field(2, 0, 1)  # data_type FLOAT
+    body += _field(8, 2, name.encode())
+    body += _field(9, 2, np.ascontiguousarray(arr, np.float32).tobytes())
+    return body
+
+
+def _onnx_bytes(tensors: dict) -> bytes:
+    graph = b"".join(_field(5, 2, _tensorproto(n, a)) for n, a in tensors.items())
+    model = _field(1, 0, 8)  # ir_version (arbitrary varint field)
+    model += _field(7, 2, graph)
+    return model
+
+
+# --- tests ------------------------------------------------------------------
+
+def test_load_onnx_tensors_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    tensors = {
+        "conv1.weight": rng.normal(size=(8, 3, 3, 3)).astype(np.float32),  # OIHW
+        "bn1.weight": rng.normal(size=(8,)).astype(np.float32),
+        "fc.weight": rng.normal(size=(4, 8)).astype(np.float32),
+    }
+    path = tmp_path / "model.onnx"
+    path.write_bytes(_onnx_bytes(tensors))
+    got = load_onnx_tensors(str(path))
+    assert set(got) == set(tensors)
+    for k in tensors:
+        np.testing.assert_array_equal(got[k], tensors[k])
+
+
+def test_import_onnx_weights_structural(tmp_path):
+    rng = np.random.default_rng(1)
+    # torch-style module naming: conv -> bn -> linear
+    onnx_tensors = {
+        "features.0.weight": rng.normal(size=(8, 3, 3, 3)).astype(np.float32),
+        "features.1.weight": rng.normal(size=(8,)).astype(np.float32),
+        "features.1.bias": rng.normal(size=(8,)).astype(np.float32),
+        "features.1.running_mean": rng.normal(size=(8,)).astype(np.float32),
+        "features.1.running_var": np.abs(rng.normal(size=(8,))).astype(np.float32),
+        "classifier.weight": rng.normal(size=(4, 8)).astype(np.float32),
+        "classifier.bias": rng.normal(size=(4,)).astype(np.float32),
+    }
+    path = tmp_path / "m.onnx"
+    path.write_bytes(_onnx_bytes(onnx_tensors))
+
+    params = {
+        "stem": {"w": np.zeros((3, 3, 3, 8), np.float32)},
+        "bn": {"gamma": np.zeros(8, np.float32), "beta": np.zeros(8, np.float32),
+               "mean": np.zeros(8, np.float32), "var": np.ones(8, np.float32)},
+        "head": {"w": np.zeros((8, 4), np.float32), "b": np.zeros(4, np.float32)},
+    }
+    copied = import_onnx_weights(params, load_onnx_tensors(str(path)))
+    assert copied == 7
+    # conv OIHW -> HWIO
+    np.testing.assert_array_equal(
+        params["stem"]["w"], onnx_tensors["features.0.weight"].transpose(2, 3, 1, 0)
+    )
+    np.testing.assert_array_equal(params["bn"]["mean"],
+                                  onnx_tensors["features.1.running_mean"])
+    # linear [out, in] -> [in, out]
+    np.testing.assert_array_equal(params["head"]["w"],
+                                  onnx_tensors["classifier.weight"].T)
+
+
+def test_import_onnx_weights_shape_mismatch_raises(tmp_path):
+    tensors = {"fc.weight": np.zeros((4, 9), np.float32),
+               "fc.bias": np.zeros(4, np.float32)}
+    path = tmp_path / "bad.onnx"
+    path.write_bytes(_onnx_bytes(tensors))
+    params = {"head": {"w": np.zeros((8, 4), np.float32), "b": np.zeros(4, np.float32)}}
+    with pytest.raises(ValueError):
+        import_onnx_weights(params, load_onnx_tensors(str(path)))
+
+
+def test_load_onnx_tensors_absent_or_garbage(tmp_path):
+    assert load_onnx_tensors(str(tmp_path / "missing.onnx")) is None
+    p = tmp_path / "empty.onnx"
+    p.write_bytes(b"")
+    assert load_onnx_tensors(str(p)) is None
+    p2 = tmp_path / "garbage.onnx"
+    p2.write_bytes(b"\xff\xfe\x00definitely not protobuf")
+    assert load_onnx_tensors(str(p2)) is None
+
+
+def test_engine_loads_onnx_candidate(tmp_path):
+    """Drop a structurally-matching spoof.onnx into weights_dir -> the engine
+    imports it (the real-pretrained-weights drop-in path, VERDICT item 3a)."""
+    import types
+
+    import torch
+
+    from frp_tpu.engine.pipeline import RecognitionEngine
+    from frp_tpu.models.mobilenetv3 import init_mobilenetv3_small
+
+    params = init_mobilenetv3_small(0)
+    # serialize OUR param units as an ONNX file with torch-style names by
+    # exporting through the same unit walk the importer uses
+    from frp_tpu.models.params import _collect_units
+
+    tensors = {}
+    for idx, (kind, node, path) in enumerate(_collect_units(params)):
+        base = f"m{idx:03d}"
+        if kind == "conv":
+            tensors[f"{base}.weight"] = np.asarray(node["w"]).transpose(3, 2, 0, 1)
+        elif kind == "bn":
+            tensors[f"{base}.weight"] = np.asarray(node["gamma"])
+            tensors[f"{base}.bias"] = np.asarray(node["beta"])
+            tensors[f"{base}.running_mean"] = np.asarray(node["mean"])
+            tensors[f"{base}.running_var"] = np.asarray(node["var"])
+        elif kind == "dense":
+            tensors[f"{base}.weight"] = np.asarray(node["w"]).T
+            tensors[f"{base}.bias"] = np.asarray(node["b"])
+        elif kind == "prelu":
+            tensors[f"{base}.weight"] = np.asarray(node["alpha"])
+    (tmp_path / "spoof.onnx").write_bytes(_onnx_bytes(tensors))
+
+    shim = types.SimpleNamespace(cfg=types.SimpleNamespace(weights_dir=str(tmp_path)))
+    loaded = RecognitionEngine._load_weights(shim, {"spoof": params}, "mobilefacenet")
+    assert loaded["spoof"] is not None and loaded["spoof"].endswith("spoof.onnx")

@@ -1,0 +1,75 @@
+"""Match-decision parity: threshold-transfer semantics of the reference's
+0.4/0.6 constants (face_service.py:395-443,486-506) on a labeled pair set of
+HELD-OUT identities, with the shipped embedder weights (VERDICT round 1,
+item 3b). The reference's embedder (dlib) can't run in this image; what code
+depends on is that distances land in the same decision bands — asserted
+here, reported with ROC numbers in BASELINE.md (tools/parity_report.py)."""
+
+import numpy as np
+import pytest
+
+from frp_tpu.ops.matching import calibrate_confidence, confidence_level
+from frp_tpu.train.pairs import (
+    build_pair_crops,
+    embed_crops,
+    pair_distances,
+    threshold_metrics,
+)
+
+
+@pytest.fixture(scope="module")
+def metrics():
+    # seed 9500: held out from BOTH the embedder's training identities
+    # (0..63, tools/pretrain_embedder.py) and the calibration set (9000..9029,
+    # tools/calibrate_embedder.py) — no leakage into the shipped constants.
+    # Crops get alignment-jitter + resampling (pairs.jitter_crop), the cheap
+    # stand-in for the detect->align->warp noise of the serving path; the
+    # full end-to-end ROC is measured on-device by tools/calibrate_embedder.py
+    # and recorded in BASELINE.md.
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    from frp_tpu.train.pairs import jitter_crop
+
+    crops, labels = build_pair_crops(n_identities=20, variants=4, seed=9500)
+    crops = np.stack([jitter_crop(c, rng) for c in crops])
+    emb = embed_crops(crops)
+    same, diff = pair_distances(emb, labels)
+    return threshold_metrics(same, diff), same, diff
+
+
+def test_accept_threshold_transfers(metrics):
+    m, same, diff = metrics
+    # reference accept decision: distance <= 0.6 (FACE_TOLERANCE)
+    assert m["tpr@0.6"] >= 0.97, m  # same identity -> accepted
+    assert m["fpr@0.6"] <= 0.05, m  # different identity -> rejected
+
+
+def test_high_confidence_band_transfers(metrics):
+    m, same, diff = metrics
+    # reference band: distance < 0.4 = "high" confidence match
+    assert m["tpr@0.4"] >= 0.90, m
+    assert m["fpr@0.4"] <= 0.01, m
+
+
+def test_separation_quality(metrics):
+    m, same, diff = metrics
+    assert m["auc"] >= 0.99, m
+    assert m["eer"] <= 0.03, m
+    assert m["same_median"] < 0.4 < 0.6 < m["diff_median"], m
+
+
+def test_bands_and_score_on_measured_distances(metrics):
+    m, same, diff = metrics
+    # the calibration helpers must classify the measured populations the way
+    # the reference's response payloads would
+    assert confidence_level(float(np.median(same))) == "high"
+    assert confidence_level(float(np.median(diff))) == "low"
+    assert calibrate_confidence(float(np.median(same))) > 80.0
+    assert calibrate_confidence(float(np.median(diff))) < 20.0
+
+
+def test_identical_crop_distance_zero():
+    crops, labels = build_pair_crops(n_identities=1, variants=1, seed=9100)
+    emb = embed_crops(np.concatenate([crops, crops]))
+    assert np.linalg.norm(emb[0] - emb[1]) < 1e-5

@@ -1,0 +1,92 @@
+"""Calibrate the embedder's distance scale to the reference's band geometry.
+
+The reference's decision constants (0.6 accept / 0.4 high-confidence /
+<0.3 duplicate, ``face_service.py:352-364,395-443,486-506``) assume dlib's
+distance distribution. Any other embedder separates identities on its own
+scale; this tool measures that scale on a labeled pair set of held-out
+procedural identities and derives ONE multiplicative constant s such that
+the equal-error-rate threshold lands at 0.5 — the center of the reference's
+band structure (its confidence sigmoid is centered there,
+face_service.py:497-506). The engine multiplies embeddings by s at the
+embed stage, so every downstream euclidean distance (gallery match, dup
+check, clustering, kNN) inherits reference geometry.
+
+Writes weights/calibration.json; prints the ROC table (BASELINE.md carries
+it). Re-run after training new embedder weights, or against real enrollment
+data in production.
+
+Usage: python tools/calibrate_embedder.py [--out weights/calibration.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+CALIB_SEED = 9000  # calibration identities; tests use a DISJOINT range
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="weights/calibration.json")
+    p.add_argument("--identities", type=int, default=24)
+    p.add_argument("--variants", type=int, default=6)
+    args = p.parse_args()
+
+    from frp_tpu.config import load_config
+    from frp_tpu.engine.pipeline import RecognitionEngine
+    from frp_tpu.train.pairs import (
+        build_pair_crops,
+        build_scene_set,
+        embed_crops,
+        embed_scenes,
+        pair_distances,
+        threshold_metrics,
+    )
+
+    # END-TO-END calibration: distances through detect -> landmark align ->
+    # warp -> embed, exactly the serving path. Crop-level numbers are also
+    # reported but the shipped scale comes from the end-to-end populations
+    # (crop-level calibration measured ~2x optimistic: alignment noise).
+    eng = RecognitionEngine(load_config(det_size=640, max_faces_per_frame=16))
+    scenes, slabels = build_scene_set(args.identities, args.variants, CALIB_SEED)
+    emb_e2e, lab_e2e = embed_scenes(eng, scenes, slabels, apply_calibration=False)
+    same, diff = pair_distances(emb_e2e, lab_e2e)
+
+    # EER threshold on RAW end-to-end distances -> maps to 0.5 (band center)
+    ts = np.linspace(0, 2, 801)
+    fnr = np.array([np.mean(same > t) for t in ts])
+    fpr = np.array([np.mean(diff <= t) for t in ts])
+    tau = float(ts[int(np.argmin(np.abs(fnr - fpr)))])
+    scale = 0.5 / tau
+
+    crops, clabels = build_pair_crops(args.identities, 4, CALIB_SEED)
+    emb_crop = embed_crops(crops, apply_calibration=False)
+    csame, cdiff = pair_distances(emb_crop, clabels)
+
+    payload = {
+        "distance_scale": round(scale, 6),
+        "eer_threshold_raw": round(tau, 4),
+        "calib_seed": CALIB_SEED,
+        "identities": args.identities,
+        "variants": args.variants,
+        "detected_scenes": f"{len(lab_e2e)}/{len(slabels)}",
+        "metrics_e2e_raw": threshold_metrics(same, diff),
+        "metrics_e2e_calibrated": threshold_metrics(same * scale, diff * scale),
+        "metrics_crop_calibrated": threshold_metrics(csame * scale, cdiff * scale),
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload, indent=1))
+    print(f"\nwrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -34,12 +34,18 @@ def main():
     trainer = ArcFaceTrainer(
         num_classes=args.identities, seed=0, learning_rate=args.lr
     )
+    from frp_tpu.train.pairs import jitter_crop
+
     rng = np.random.default_rng(0)
     t0 = time.time()
     for step in range(args.steps):
         labels = rng.integers(0, args.identities, size=(args.batch,)).astype(np.int32)
+        # alignment-jitter + resampling augmentation: the serving path embeds
+        # detector-aligned warps of ~56-90 px faces, not pristine renders —
+        # train the invariance in (shrinks same-identity distance tails
+        # measured end-to-end; see BASELINE.md parity section)
         crops = np.stack(
-            [make_identity_crop(identities[l], rng) for l in labels]
+            [jitter_crop(make_identity_crop(identities[l], rng), rng) for l in labels]
         ).astype(np.float32)
         images = (crops - 127.5) / 128.0
         m = trainer.train_step(images, labels)
