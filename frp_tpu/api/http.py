@@ -348,9 +348,15 @@ class HTTPServer:
                         response = json_response(response)
         except HTTPError as e:
             response = json_response({"detail": e.detail}, e.status)
-        except Exception:
-            logger.error("handler error: %s", traceback.format_exc())
-            response = json_response({"detail": "Internal Server Error"}, 500)
+        except Exception as e:
+            # document-schema violations surface as 422s (FastAPI semantics;
+            # the pydantic models are wired at the store boundary,
+            # platform/schemas.py + platform/dbops.py)
+            if type(e).__name__ == "ValidationError":
+                response = json_response({"detail": str(e)}, 422)
+            else:
+                logger.error("handler error: %s", traceback.format_exc())
+                response = json_response({"detail": "Internal Server Error"}, 500)
 
         cors = {
             "Access-Control-Allow-Origin": "*",

@@ -93,8 +93,11 @@ class AlertService:
         if self._config_coll is None:
             return
         try:
+            from frp_tpu.platform.schemas import ConfigModel
+
+            doc = ConfigModel(name=name, data=data).model_dump()
             self._config_coll.update_one(
-                {"name": name}, {"$set": {"data": data}}, upsert=True
+                {"name": doc["name"]}, {"$set": {"data": doc["data"]}}, upsert=True
             )
         except Exception:
             logger.exception("failed to persist %s (non-fatal)", name)
@@ -217,6 +220,7 @@ class AlertService:
                     geo=str(geo),
                     target=target_name,
                     distance=distance,
+                    priority=priority,
                 )
             except Exception:
                 logger.exception("log_alert failed (non-fatal)")

@@ -9,6 +9,7 @@ from __future__ import annotations
 import time
 from datetime import datetime, timedelta
 
+from frp_tpu.platform.schemas import AlertLogModel, TrackingRecordModel
 from frp_tpu.utils.logger import append_target_log, audit_event, get_logger
 
 logger = get_logger("frp.platform.dbops")
@@ -45,7 +46,7 @@ def make_log_alert(db, log_dir: str = "logs"):
     closure with the 10 s dedup window (db.py:347-396)."""
     logs = db["logs"]
 
-    def log_alert(camera_id, camera_name, geo, target, distance):
+    def log_alert(camera_id, camera_name, geo, target, distance, priority="low"):
         now = datetime.now()
         cutoff = (now - timedelta(seconds=ALERT_DEDUP_SECONDS)).isoformat()
         dup = logs.find_one(
@@ -53,14 +54,18 @@ def make_log_alert(db, log_dir: str = "logs"):
         )
         if dup is not None:
             return {"logged": False, "deduplicated": True}
-        entry = {
-            "target": target,
-            "camera_id": int(camera_id),
-            "camera_name": camera_name,
-            "geo": geo,
-            "distance": round(float(distance), 4),
-            "timestamp": now.isoformat(),
-        }
+        # schema-validated document (reference person.py:159-204 AlertLogModel
+        # semantics incl. the legacy geo-as-string form); a malformed alert
+        # never reaches the store
+        entry = AlertLogModel(
+            target=target,
+            camera_id=int(camera_id),
+            camera_name=camera_name,
+            geo=str(geo),
+            distance=round(float(distance), 4),
+            priority=priority,
+            timestamp=now.isoformat(),
+        ).model_dump()
         safe_insert(logs, entry)
         append_target_log(target, entry, log_dir)
         audit_event("alert_logged", entry)
@@ -75,8 +80,15 @@ def make_save_detection(db):
     tracking = db["tracking"]
 
     def save_detection(detection: dict):
-        doc = dict(detection)
-        doc["geo"] = list(doc.get("geo", (0.0, 0.0)))
+        # schema gate (reference person.py:74-153 TrackingRecordModel: geo
+        # range + confidence enum); invalid records are dropped with a
+        # warning rather than corrupting the store (background path)
+        try:
+            doc = TrackingRecordModel(**detection).model_dump()
+        except Exception as e:
+            logger.warning("tracking record rejected by schema: %s", e)
+            return
+        doc["geo"] = list(doc["geo"])
         safe_insert(tracking, doc)
 
     return save_detection

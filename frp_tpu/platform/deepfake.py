@@ -194,7 +194,22 @@ class DeepfakeService:
             )
         if self._coll is not None:
             try:
-                self._coll.insert_one(dict(result))
+                # schema gate (reference person.py:210-245 DeepfakeLogModel:
+                # result/confidence enums, 4-coord bbox validator)
+                from frp_tpu.platform.schemas import DeepfakeLogModel
+
+                checked = DeepfakeLogModel(
+                    result=result["result"],
+                    confidence=result["confidence"],
+                    timestamp=result["timestamp"],
+                    frames_sampled=result["frames_sampled"],
+                    boxes=[
+                        [float(v) for v in box]
+                        for fr in frame_results[:10]
+                        for box in fr.get("boxes", [])
+                    ] or None,
+                ).model_dump(exclude_none=True)
+                self._coll.insert_one({**dict(result), **checked})
             except Exception:
                 logger.exception("deepfake log persistence failed (non-fatal)")
         audit_event("deepfake_analysis", {"result": result_label, "frames": len(frames)})

@@ -195,9 +195,19 @@ class FaceService:
                 if self._cipher is not None
                 else json.dumps(emb.tolist())
             )
+            # schema gate at the store boundary (reference person.py:34-68
+            # FaceModel: embedding persisted only as the encrypted token);
+            # a ValidationError propagates to the route as a 422
+            from frp_tpu.platform.schemas import FaceModel
+
+            doc = FaceModel(
+                target=target_name,
+                embedding=token,
+                updated_at=datetime.now().isoformat(),
+            ).model_dump(exclude_none=True)
             self._faces_coll.update_one(
-                {"target": target_name},
-                {"$set": {"embedding": token, "updated_at": datetime.now().isoformat()}},
+                {"target": doc["target"]},
+                {"$set": {k: v for k, v in doc.items() if k != "target"}},
                 upsert=True,
             )
         self.gallery.add(target_name, emb)

@@ -154,3 +154,46 @@ def test_deepfake_reference_maintenance_paths(app):
     assert data["stats"]["total_videos"] == 0
     status, data, _ = call(router, "DELETE", "/deepfake/cache")
     assert "cleared" in data
+
+
+# ---------------------------------------------------------------------------
+# schema wiring: pydantic models gate the store boundary (VERDICT weak #5)
+# ---------------------------------------------------------------------------
+
+def test_tracking_store_rejects_malformed_record(app):
+    router, ctx = app
+    from frp_tpu.platform.dbops import make_save_detection
+
+    save = make_save_detection(ctx.db)
+    before = len(list(ctx.db["tracking"].find({})))
+    save({"person": "x", "camera_id": -3, "distance": 0.2,
+          "confidence": "high", "timestamp": "2026-01-01T00:00:00"})  # bad id
+    save({"person": "x", "camera_id": 0, "geo": (999.0, 0.0), "distance": 0.2,
+          "confidence": "high", "timestamp": "t"})  # geo out of range
+    save({"person": "x", "camera_id": 0, "distance": 0.2,
+          "confidence": "certain", "timestamp": "t"})  # bad enum
+    assert len(list(ctx.db["tracking"].find({}))) == before
+    save({"person": "x", "camera_id": 0, "geo": (18.5, 73.8), "distance": 0.2,
+          "confidence": "high", "timestamp": "2026-01-01T00:00:00"})
+    assert len(list(ctx.db["tracking"].find({}))) == before + 1
+
+
+def test_alert_log_document_is_schema_shaped(app):
+    router, ctx = app
+    ctx.alerts.generate_alert("schema-check", 0, 0.35)
+    docs = list(ctx.db["logs"].find({"target": "schema-check"}))
+    assert docs, "alert was not logged"
+    doc = docs[-1]
+    assert doc["priority"] in ("critical", "high", "medium", "low")
+    assert isinstance(doc["geo"], str)  # legacy geo-as-string (person.py:159)
+    assert doc["distance"] == 0.35
+
+
+def test_face_store_document_is_schema_shaped(app):
+    router, ctx = app
+    from tests.test_api import _upload
+
+    _upload(router, "schema_face", value=90)
+    doc = ctx.db["faces"].find_one({"target": "schema_face"})
+    assert doc is not None and isinstance(doc["embedding"], str)
+    assert "updated_at" in doc
