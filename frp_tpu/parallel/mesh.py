@@ -10,12 +10,93 @@ partitioner), never host Python.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+
+
+# ---------------------------------------------------------------------------
+# multi-host (DCN) bring-up — SURVEY.md section 2.4
+# ---------------------------------------------------------------------------
+# The reference's cross-machine fabric is HTTP/JSON between FL clients
+# (reference federated.py:150-265). The TPU-native equivalent inside a pod
+# is jax.distributed: every host calls initialize(), jax.devices() becomes
+# the GLOBAL device list, and the same Mesh/pjit code then rides ICI within
+# a slice and DCN across hosts — no NCCL/MPI translation layer.
+
+def distributed_initialize(
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> dict:
+    """Initialize jax.distributed from args or env, idempotently.
+
+    Env contract (flag-compatible with standard JAX launchers):
+      FRP_COORDINATOR   "host:port" of process 0 (JAX_COORDINATOR_ADDRESS
+                        also honored)
+      FRP_NUM_PROCESSES / FRP_PROCESS_ID (JAX_NUM_PROCESSES/JAX_PROCESS_ID
+                        also honored)
+    On TPU pods all three are auto-detected by JAX; passing nothing there is
+    correct. Returns {enabled, process_id, num_processes, local_devices,
+    global_devices}. A single-process setup (no coordinator configured)
+    returns enabled=False without touching jax.distributed.
+    """
+    coordinator = coordinator or os.getenv("FRP_COORDINATOR") or os.getenv(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if num_processes is None:
+        raw = os.getenv("FRP_NUM_PROCESSES") or os.getenv("JAX_NUM_PROCESSES")
+        num_processes = int(raw) if raw else None
+    if process_id is None:
+        raw = os.getenv("FRP_PROCESS_ID") or os.getenv("JAX_PROCESS_ID")
+        process_id = int(raw) if raw else None
+
+    state = getattr(jax.distributed, "global_state", None)
+    already = state is not None and getattr(state, "client", None) is not None
+    if coordinator is None and not already:
+        return {"enabled": False, "process_id": 0, "num_processes": 1,
+                "local_devices": len(jax.local_devices()),
+                "global_devices": len(jax.devices())}
+    if not already:
+        # bounded bring-up: a typo'd coordinator address must fail loudly
+        # in ~FRP_DIST_TIMEOUT seconds, not hang for JAX's default 300 s
+        # (observed live: a dead port blocks initialize() indefinitely)
+        timeout = int(os.getenv("FRP_DIST_TIMEOUT", "60"))
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+            initialization_timeout=timeout,
+        )
+    return {
+        "enabled": True,
+        "process_id": jax.process_index(),
+        "num_processes": jax.process_count(),
+        "local_devices": len(jax.local_devices()),
+        "global_devices": len(jax.devices()),
+    }
+
+
+def make_global_mesh(n_model: int = 1) -> Mesh:
+    """Multi-host mesh: GLOBAL device grid laid out so the 'model' axis
+    stays within a host (TP collectives ride ICI; only the 'data' axis —
+    gradient/FedAvg psums — crosses DCN). Call distributed_initialize()
+    first on every process."""
+    devices = np.asarray(jax.devices())  # global list, process-major order
+    per_host = max(1, len(jax.local_devices()))
+    if n_model > per_host or per_host % n_model:
+        raise ValueError(
+            f"model axis {n_model} must divide local device count {per_host} "
+            "(TP must not cross hosts: ICI >> DCN bandwidth)"
+        )
+    n_data = len(devices) // n_model
+    grid = devices.reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
 def make_mesh(
