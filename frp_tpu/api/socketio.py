@@ -59,13 +59,17 @@ def encode_frame(payload: bytes, opcode: int = 0x1) -> bytes:
     return header + payload
 
 
-async def read_frame(reader: asyncio.StreamReader):
-    """Returns (opcode, payload) or None on close/EOF."""
+MAX_WS_MESSAGE = 4 * 1024 * 1024  # reassembled-message cap
+
+
+async def _read_raw_frame(reader: asyncio.StreamReader):
+    """One wire frame -> (fin, opcode, payload) or None on EOF."""
     try:
         head = await reader.readexactly(2)
     except (asyncio.IncompleteReadError, ConnectionResetError):
         return None
     fin_op, mask_len = head[0], head[1]
+    fin = bool(fin_op & 0x80)
     opcode = fin_op & 0x0F
     masked = bool(mask_len & 0x80)
     length = mask_len & 0x7F
@@ -73,14 +77,55 @@ async def read_frame(reader: asyncio.StreamReader):
         length = struct.unpack(">H", await reader.readexactly(2))[0]
     elif length == 127:
         length = struct.unpack(">Q", await reader.readexactly(8))[0]
+    if length > MAX_WS_MESSAGE:
+        return None
     mask = await reader.readexactly(4) if masked else b"\x00" * 4
     data = bytearray(await reader.readexactly(length)) if length else bytearray()
     if masked:
         for i in range(len(data)):
             data[i] ^= mask[i % 4]
-    if opcode == 0x8:  # close
-        return None
-    return opcode, bytes(data)
+    return fin, opcode, bytes(data)
+
+
+async def read_frame(reader: asyncio.StreamReader, on_control=None):
+    """Returns one complete MESSAGE as (opcode, payload), reassembling
+    fragmented data frames (RFC 6455 5.4: FIN=0 + continuation 0x0 frames —
+    socket.io-client fragments payloads beyond its chunk size). Control
+    frames (ping/pong/close) are never fragmented and may interleave
+    mid-fragmentation: with ``on_control(opcode, payload)`` given they're
+    handed to it and reassembly continues (close aborts); without it they're
+    returned immediately (only safe outside fragmentation — test clients).
+    Close (0x8) is returned to the caller for the RFC 5.5.1 echo.
+    Returns None on EOF/overflow/protocol error."""
+    first_opcode = None
+    parts: list[bytes] = []
+    total = 0
+    while True:
+        raw = await _read_raw_frame(reader)
+        if raw is None:
+            return None
+        fin, opcode, payload = raw
+        if opcode in (0x8, 0x9, 0xA):  # control: never fragmented
+            if opcode == 0x8 or on_control is None:
+                return opcode, payload
+            on_control(opcode, payload)
+            continue
+        if opcode in (0x1, 0x2):
+            if first_opcode is not None:
+                return None  # new data frame before previous message's FIN
+            first_opcode = opcode
+            parts = [payload]
+        elif opcode == 0x0:  # continuation
+            if first_opcode is None:
+                return None  # protocol error
+            parts.append(payload)
+        else:
+            return None  # reserved opcode
+        total += len(payload)
+        if total > MAX_WS_MESSAGE:
+            return None
+        if fin:
+            return first_opcode, b"".join(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -166,10 +211,11 @@ class SocketIOServer:
             self.connections_total += 1
         logger.info("socket.io client connected: %s", sid)
 
+        state = {"last_heard": time.monotonic()}
         sender = asyncio.create_task(self._send_loop(writer, queue))
-        pinger = asyncio.create_task(self._ping_loop(queue))
+        pinger = asyncio.create_task(self._ping_loop(queue, state, writer))
         try:
-            await self._recv_loop(reader, queue, sid)
+            await self._recv_loop(reader, queue, sid, state)
         finally:
             sender.cancel()
             pinger.cancel()
@@ -190,25 +236,50 @@ class SocketIOServer:
         except (asyncio.CancelledError, ConnectionResetError, BrokenPipeError):
             pass
 
-    async def _ping_loop(self, queue: asyncio.Queue):
+    async def _ping_loop(self, queue: asyncio.Queue, state: dict, writer):
+        """Engine.IO heartbeat + liveness: a client that stops answering
+        pings for pingInterval+pingTimeout is disconnected (Engine.IO v4
+        heartbeat semantics; round 1 kept dead sockets forever)."""
         try:
             while True:
                 await asyncio.sleep(PING_INTERVAL_MS / 1000)
+                silent = time.monotonic() - state["last_heard"]
+                if silent > (PING_INTERVAL_MS + PING_TIMEOUT_MS) / 1000:
+                    logger.info("socket.io client timed out (%.0fs silent)", silent)
+                    writer.close()
+                    return
                 queue.put_nowait("2")  # engine.io ping
         except asyncio.CancelledError:
             pass
 
-    async def _recv_loop(self, reader, queue: asyncio.Queue, sid: str):
+    async def _recv_loop(self, reader, queue: asyncio.Queue, sid: str, state: dict):
+        pending_binary: dict | None = None  # socket.io BINARY_EVENT reassembly
+
+        def on_control(opcode, payload):
+            state["last_heard"] = time.monotonic()
+            if opcode == 0x9:  # ws ping -> ws pong (RFC 6455 5.5.3:
+                # pong must carry the ping's application data verbatim)
+                queue.put_nowait(encode_frame(payload, opcode=0xA))
+
         while True:
-            frame = await read_frame(reader)
+            frame = await read_frame(reader, on_control=on_control)
             if frame is None:
                 return
             opcode, payload = frame
-            if opcode == 0x9:  # ws ping -> ws pong (RFC 6455 §5.5.3:
-                # pong must carry the ping's application data verbatim)
-                queue.put_nowait(encode_frame(payload, opcode=0xA))
+            state["last_heard"] = time.monotonic()
+            if opcode == 0x8:  # close -> echo close (RFC 6455 5.5.1), done
+                queue.put_nowait(encode_frame(payload[:2], opcode=0x8))
+                await asyncio.sleep(0)  # let the sender flush
+                return
+            if opcode in (0x9, 0xA):  # control outside fragmentation
+                on_control(opcode, payload)
                 continue
-            if opcode != 0x1:
+            if opcode == 0x2:  # binary attachment for a pending BINARY_EVENT
+                if pending_binary is not None:
+                    pending_binary["buffers"].append(payload)
+                    if len(pending_binary["buffers"]) >= pending_binary["count"]:
+                        self._deliver_binary_event(pending_binary)
+                        pending_binary = None
                 continue
             text = payload.decode("utf-8", "replace")
             if not text:
@@ -229,5 +300,43 @@ class SocketIOServer:
                         logger.debug("client event %s: %s", event, args)
                     except (json.JSONDecodeError, ValueError):
                         pass
+                elif sio.startswith("5"):  # BINARY_EVENT: "5<n>-<json>"
+                    try:
+                        head, body = sio[1:].split("-", 1)
+                        pending_binary = {
+                            "count": int(head),
+                            "body": body,
+                            "buffers": [],
+                        }
+                        if pending_binary["count"] == 0:
+                            self._deliver_binary_event(pending_binary)
+                            pending_binary = None
+                    except (ValueError, IndexError):
+                        pending_binary = None
                 elif sio.startswith("1"):  # disconnect
                     return
+
+    def _deliver_binary_event(self, pending: dict):
+        """Substitute {_placeholder: true, num: i} entries with the received
+        binary buffers (socket.io protocol v5 binary events) and log it —
+        the platform has no binary-consuming handlers, but the wire exchange
+        must not desync the session."""
+        try:
+            decoded = json.loads(pending["body"])
+
+            def subst(node):
+                if isinstance(node, dict):
+                    if node.get("_placeholder") and "num" in node:
+                        i = int(node["num"])
+                        bufs = pending["buffers"]
+                        return bufs[i] if i < len(bufs) else None
+                    return {k: subst(v) for k, v in node.items()}
+                if isinstance(node, list):
+                    return [subst(v) for v in node]
+                return node
+
+            event, *args = subst(decoded)
+            sizes = [len(a) if isinstance(a, bytes) else a for a in args]
+            logger.debug("client binary event %s: %s", event, sizes)
+        except (json.JSONDecodeError, ValueError, TypeError):
+            pass

@@ -296,3 +296,166 @@ def test_ws_upgrade_on_wrong_path_is_http_error(server_port):
         writer.close()
 
     asyncio.run(go())
+
+
+async def _ws_connect(port):
+    """Minimal WS client handshake; returns (reader, writer) past the
+    engine.io open packet."""
+    reader, writer = await asyncio.open_connection("127.0.0.1", port)
+    key = base64.b64encode(os.urandom(16)).decode()
+    writer.write(
+        (
+            f"GET /socket.io/?EIO=4&transport=websocket HTTP/1.1\r\n"
+            f"Host: localhost\r\nUpgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+        ).encode()
+    )
+    await writer.drain()
+    assert b"101" in await reader.readline()
+    while (await reader.readline()) not in (b"\r\n", b""):
+        pass
+    await asyncio.wait_for(read_frame(reader), 5)  # engine.io open
+    return reader, writer
+
+
+def _client_frame(data: bytes, opcode=0x1, fin=True) -> bytes:
+    mask = os.urandom(4)
+    masked = bytes(b ^ mask[i % 4] for i, b in enumerate(data))
+    head = bytes([(0x80 if fin else 0) | opcode])
+    n = len(data)
+    if n < 126:
+        head += bytes([0x80 | n])
+    elif n < 65536:
+        head += bytes([0x80 | 126]) + struct.pack(">H", n)
+    else:
+        head += bytes([0x80 | 127]) + struct.pack(">Q", n)
+    return head + mask + masked
+
+
+async def _expect_pong(reader, writer, payload=b"alive"):
+    writer.write(_client_frame(payload, opcode=0x9))
+    await writer.drain()
+    while True:
+        op, data = await asyncio.wait_for(read_frame(reader), 5)
+        if op == 0xA:
+            assert data == payload
+            return
+
+
+def test_ws_fragmented_client_message_reassembled(server_port):
+    """RFC 6455 5.4: a text message split across FIN=0 + continuation frames
+    must reassemble; the session must stay in sync afterwards."""
+    port, ctx = server_port
+
+    async def go():
+        reader, writer = await _ws_connect(port)
+        msg = b'42["client_ping",{"from":"fragmented"}]'
+        writer.write(_client_frame(msg[:10], opcode=0x1, fin=False))
+        writer.write(_client_frame(msg[10:25], opcode=0x0, fin=False))
+        writer.write(_client_frame(msg[25:], opcode=0x0, fin=True))
+        await writer.drain()
+        await _expect_pong(reader, writer)  # session still alive + in sync
+        writer.close()
+
+    asyncio.run(go())
+
+
+def test_ws_control_frame_interleaved_mid_fragmentation(server_port):
+    """A ping BETWEEN fragments must be answered without corrupting the
+    partially reassembled message."""
+    port, ctx = server_port
+
+    async def go():
+        reader, writer = await _ws_connect(port)
+        msg = b'42["evt",{"k":1}]'
+        writer.write(_client_frame(msg[:6], opcode=0x1, fin=False))
+        writer.write(_client_frame(b"mid", opcode=0x9))  # ping mid-message
+        writer.write(_client_frame(msg[6:], opcode=0x0, fin=True))
+        await writer.drain()
+        while True:
+            op, data = await asyncio.wait_for(read_frame(reader), 5)
+            if op == 0xA:
+                assert data == b"mid"
+                break
+        await _expect_pong(reader, writer)
+        writer.close()
+
+    asyncio.run(go())
+
+
+def test_ws_large_payload_64bit_length(server_port):
+    """>65535-byte client frame exercises the 64-bit length path (the open
+    packet advertises maxPayload 1MB)."""
+    port, ctx = server_port
+
+    async def go():
+        reader, writer = await _ws_connect(port)
+        big = b'42["blob","' + b"x" * 70000 + b'"]'
+        writer.write(_client_frame(big))
+        await writer.drain()
+        await _expect_pong(reader, writer)
+        writer.close()
+
+    asyncio.run(go())
+
+
+def test_socketio_binary_event_attachments(server_port):
+    """socket.io v5 BINARY_EVENT: '451-' header + one binary attachment must
+    not desync the session (reference clients can emit Blobs)."""
+    port, ctx = server_port
+
+    async def go():
+        reader, writer = await _ws_connect(port)
+        header = b'451-["frame",{"_placeholder":true,"num":0}]'
+        writer.write(_client_frame(header))
+        writer.write(_client_frame(b"\x01\x02\x03\xff" * 100, opcode=0x2))
+        await writer.drain()
+        await _expect_pong(reader, writer)
+        writer.close()
+
+    asyncio.run(go())
+
+
+def test_ws_close_frame_echoed(server_port):
+    """RFC 6455 5.5.1: server answers a close frame with a close frame."""
+    port, ctx = server_port
+
+    async def go():
+        reader, writer = await _ws_connect(port)
+        writer.write(_client_frame(struct.pack(">H", 1000), opcode=0x8))
+        await writer.drain()
+        while True:
+            frame = await asyncio.wait_for(read_frame(reader), 5)
+            assert frame is not None, "connection dropped without close echo"
+            op, data = frame
+            if op == 0x8:
+                assert data[:2] == struct.pack(">H", 1000)
+                break
+        writer.close()
+
+    asyncio.run(go())
+
+
+def test_engineio_ping_timeout_disconnects(server_port, monkeypatch):
+    """A client that never answers engine.io pings is dropped after
+    pingInterval + pingTimeout (engine.io v4 heartbeat)."""
+    import frp_tpu.api.socketio as sio_mod
+
+    monkeypatch.setattr(sio_mod, "PING_INTERVAL_MS", 300)
+    monkeypatch.setattr(sio_mod, "PING_TIMEOUT_MS", 200)
+    port, ctx = server_port
+
+    async def go():
+        reader, writer = await _ws_connect(port)
+        # read frames without ever answering pings; server must close
+        deadline = asyncio.get_event_loop().time() + 10
+        while asyncio.get_event_loop().time() < deadline:
+            try:
+                frame = await asyncio.wait_for(read_frame(reader), 3)
+            except asyncio.TimeoutError:
+                frame = True  # keep waiting
+            if frame is None:
+                return  # server closed us: pass
+        raise AssertionError("server kept a silent client past the timeout")
+
+    asyncio.run(go())
