@@ -240,17 +240,33 @@ def build_stages(
         else:
             x, scale = preprocess_frames(frames, det_size, compute_dtype)
         det = retinaface_forward(params, x)
-        boxes_det = decode_boxes(det["loc"], priors, float(det_size))
-        ldm_det = decode_landmarks(det["ldm"], priors, float(det_size))
-        dets = nms_padded_batched(
-            boxes_det,
-            det["score"],
-            ldm_det,
-            pre_topk=pre_nms_topk,
-            max_out=max_faces,
-            conf_thresh=conf_thresh,
-            iou_thresh=nms_thresh,
-        )
+        if jax.default_backend() == "tpu":
+            # fully fused Pallas head: decode + score-filter + IoU + greedy
+            # suppress + slot-select in one kernel per frame — 3.3 ms/batch
+            # vs 42.6 ms for the op-by-op path (benchmarks/micro_pallas.py;
+            # on-device equality asserted there and in tests)
+            from frp_tpu.ops.detection_pallas import fused_detection_head
+
+            dets = fused_detection_head(
+                det["loc"], det["ldm"], det["score"], priors,
+                pre_topk=pre_nms_topk,
+                max_out=max_faces,
+                conf_thresh=conf_thresh,
+                iou_thresh=nms_thresh,
+                image_size=float(det_size),
+            )
+        else:
+            boxes_det = decode_boxes(det["loc"], priors, float(det_size))
+            ldm_det = decode_landmarks(det["ldm"], priors, float(det_size))
+            dets = nms_padded_batched(
+                boxes_det,
+                det["score"],
+                ldm_det,
+                pre_topk=pre_nms_topk,
+                max_out=max_faces,
+                conf_thresh=conf_thresh,
+                iou_thresh=nms_thresh,
+            )
         sxy = scale[:, None, :]
         boxes = dets["boxes"] * jnp.concatenate([sxy, sxy], axis=-1)
         b_, m_ = dets["valid"].shape
@@ -274,7 +290,15 @@ def build_stages(
         )
         ident = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
         mats = jnp.where(dets["valid"][..., None, None], mats, ident)
-        crops = warp_crops_batched(frames_f, mats, out_size=112)
+        from frp_tpu.ops.align_pallas import WIN, warp_crops_batched_pallas
+
+        if jax.default_backend() == "tpu" and min(h, w) >= WIN:
+            # two-pass shear warp in Pallas: 1.9 ms/batch vs 46.7 ms for the
+            # XLA random-HBM-gather formulation (benchmarks/micro_pallas.py;
+            # sub-pixel-equal, see ops/align_pallas.py docstring)
+            crops = warp_crops_batched_pallas(frames_f, mats, out_size=112)
+        else:
+            crops = warp_crops_batched(frames_f, mats, out_size=112)
         out = {"crops": crops}
         if with_quality:
             q = assess_quality_batch(
