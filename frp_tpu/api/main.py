@@ -22,6 +22,7 @@ from frp_tpu.api.routes import (
     deepfake as deepfake_routes,
     face as face_routes,
     federated as federated_routes,
+    frontend as frontend_routes,
     snapshot as snapshot_routes,
 )
 from frp_tpu.api.socketio import SocketIOServer
@@ -42,6 +43,7 @@ def build_app(ctx: AppContext | None = None, **ctx_kwargs):
     async def root(request: Request):
         return json_response(
             {
+                "message": "FastAPI backend is running",  # reference main.py:105
                 "service": "face-recognition-platform (TPU-native)",
                 "status": "running",
                 "gallery_size": len(ctx.engine.gallery),
@@ -57,6 +59,17 @@ def build_app(ctx: AppContext | None = None, **ctx_kwargs):
         cams = ctx.cameras.all()
         return json_response(
             {
+                # the reference envelope the React app consumes
+                # (main.py:108-124, App.jsx:67/214-222: entry.state === "ok"):
+                "status": {
+                    str(c.id): {
+                        "state": "ok" if c.healthy else "error",
+                        "name": c.name,
+                        "geo": list(c.geo) if c.geo else None,
+                    }
+                    for c in cams
+                },
+                # extensions
                 "total": len(cams),
                 "active": [c.id for c in cams if c.healthy],
                 "cameras": {str(c.id): c.info() for c in cams},
@@ -91,6 +104,7 @@ def build_app(ctx: AppContext | None = None, **ctx_kwargs):
     snapshot_routes.register(router, ctx)
     async_routes.register(router, ctx)  # mounted (reference forgets this)
     dashboard_routes.register(router, ctx)
+    frontend_routes.register(router, ctx)
     return router, sio, ctx
 
 

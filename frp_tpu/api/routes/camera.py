@@ -153,22 +153,47 @@ def register(router, ctx):
         max_faces = request.query_int("max_faces", 10)
         async with scan_lock:  # one batched scan at a time
             scan = await asyncio.to_thread(run_scan, threshold, frame_skip, max_faces)
+        all_alerts = ctx.alerts.get_alerts(limit=50)
+        # reference envelope (camera.py:367-387, consumed by App.jsx:119-144):
+        # alerts grouped one-per-target; "history" = per-person movements;
+        # "movement_log" = a LIST derived from current locations.
+        grouped: dict = {}
+        for alert in all_alerts:
+            tgt = alert.get("target")
+            if tgt and tgt not in grouped:
+                grouped[tgt] = alert
         latest = ctx.alerts.get_latest_alert()
+        movements = ctx.tracking.get_all_movements(limit_per_person=10)
         return json_response(
             {
-                "alerts": ctx.alerts.get_alerts(limit=50),
-                "new_alerts": scan["alerts"],
-                "detections": scan["detections"],
-                "history": {
-                    t: list(h)[-10:] for t, h in ctx.alerts.alert_history.items()
-                },
-                "movement_log": ctx.tracking.get_all_movements(limit_per_person=10),
+                "status": "success",
+                "alerts": list(grouped.values()),
+                "history": movements,
+                "movement_log": [
+                    {
+                        "target": person,
+                        "camera_id": recs[-1]["camera_id"],
+                        "camera_name": recs[-1]["camera_name"],
+                        "geo": recs[-1].get("geo"),
+                        "timestamp": recs[-1].get("timestamp"),
+                    }
+                    for person, recs in movements.items()
+                    if recs
+                ],
                 "latest_detection": latest,
                 "metadata": {
                     "cameras_scanned": scan["scanned"],
                     "threshold": threshold,
+                    "detections": len(scan["detections"]),
                     "processing_time": scan["processing_time"],
                     "device_time": scan.get("device_time"),
+                },
+                # extensions beyond the reference envelope
+                "all_alerts": all_alerts,
+                "new_alerts": scan["alerts"],
+                "detections": scan["detections"],
+                "alert_history": {
+                    t: list(hh)[-10:] for t, hh in ctx.alerts.alert_history.items()
                 },
             }
         )

@@ -10,7 +10,9 @@ from __future__ import annotations
 import asyncio
 import io
 import json
+import os
 import re
+from datetime import datetime
 
 import numpy as np
 
@@ -71,7 +73,8 @@ def register(router, ctx):
 
     def _enroll(image: np.ndarray, target: str, min_quality: float, override: bool):
         """The enrollment core (reference face.py:114-331 semantics)."""
-        if target in svc.get_all_targets() and not override:
+        overridden = target in svc.get_all_targets()
+        if overridden and not override:
             raise HTTPError(
                 409, f"target '{target}' already exists (pass override=true to replace)"
             )
@@ -117,11 +120,30 @@ def register(router, ctx):
         from frp_tpu.utils.logger import create_target_log_files
 
         create_target_log_files(target, ctx.cfg.log_dir)
+        # reference envelope (face.py:290-315): the React app keys off
+        # status === "success" (App.jsx:97, FaceUpload.jsx:247)
         return {
-            "success": True,
+            "status": "success",
+            "message": f"Face successfully enrolled for '{target}'",
             "target": target,
+            "overridden": overridden,
+            "quality": {
+                "score": round(quality["score"], 2),
+                "rating": (
+                    "excellent" if quality["score"] >= 80
+                    else "good" if quality["score"] >= 60
+                    else "acceptable"
+                ),
+                "issues": quality["issues"] or None,
+            },
+            "metadata": {
+                "resolution": f"{image.shape[1]}x{image.shape[0]}",
+            },
+            "timestamp": datetime.now().isoformat(),
+            # extensions
+            "success": True,
             "face_count": 1,
-            "quality": quality,
+            "quality_detail": quality,
             "warning": stored.get("warning"),
             "processing_time": enc["processing_time"],
         }
@@ -132,13 +154,45 @@ def register(router, ctx):
         upload = files.get("file") or files.get("image")
         if upload is None:
             raise HTTPError(422, "multipart field 'file' is required")
-        target = sanitize_name(fields.get("target") or fields.get("name") or "")
+        # reference face.py:117,133: target_name arrives as a QUERY param and
+        # defaults to the filename stem; the reference frontend additionally
+        # posts target_name as a FORM field (App.jsx:91, FaceUpload.jsx:169) —
+        # accept every shape so both clients work.
+        target = sanitize_name(
+            request.query.get("target_name")
+            or fields.get("target_name")
+            or fields.get("target")
+            or fields.get("name")
+            or (upload.filename or "").rsplit(".", 1)[0]
+        )
         _validate_upload(upload, target)
-        min_quality = float(fields.get("min_quality", ctx.cfg.min_face_quality))
-        override = fields.get("override", "").lower() in ("1", "true", "yes")
+        # override / min_quality / save_raw are QUERY params in the reference
+        # (face.py:117-121); form fields kept as an extension
+        min_quality = float(
+            request.query.get("min_quality")
+            or fields.get("min_quality", ctx.cfg.min_face_quality)
+        )
+        override = (
+            request.query.get("override") or fields.get("override", "")
+        ).lower() in ("1", "true", "yes")
+        save_raw = (
+            request.query.get("save_raw") or fields.get("save_raw", "")
+        ).lower() in ("1", "true", "yes")
         image = decode_image(upload.data)
         result = await asyncio.to_thread(_enroll, image, target, min_quality, override)
-        return json_response(result, 201)
+        safe_filename = sanitize_name((upload.filename or target).rsplit(".", 1)[0])
+        ext = os.path.splitext(upload.filename or "")[1] or ".jpg"
+        result["filename"] = safe_filename + ext
+        result["metadata"]["file_size_kb"] = round(upload.size / 1024, 2)
+        if save_raw:
+            # reference face.py:168-174: persist the raw upload
+            raw_dir = os.path.join(ctx.cfg.data_dir, "uploads")
+            os.makedirs(raw_dir, exist_ok=True)
+            raw_path = os.path.join(raw_dir, safe_filename + ext)
+            with open(raw_path, "wb") as f:
+                f.write(upload.data)
+            result["raw_saved"] = raw_path
+        return json_response(result, 200)
 
     @router.post("/face/upload/batch")
     async def upload_batch(request: Request):
@@ -182,7 +236,19 @@ def register(router, ctx):
             entries.append(entry)
         if sort == "name":
             entries.sort(key=lambda e: e["target"])
-        return json_response({"count": len(entries), "faces": entries})
+        # reference envelope (face.py:450-500): status + count + total +
+        # targets (plain names; FaceUpload.jsx:60 reads payload.targets);
+        # `faces` carries the per-target metadata entries as in the
+        # metadata=true branch
+        return json_response(
+            {
+                "status": "success",
+                "count": len(entries),
+                "total": len(targets),
+                "targets": [e["target"] for e in entries],
+                "faces": entries,
+            }
+        )
 
     @router.get("/face/detail/{target}")
     async def face_detail(request: Request):
@@ -200,10 +266,21 @@ def register(router, ctx):
 
     @router.delete("/face/delete/{target}")
     async def face_delete(request: Request):
-        result = svc.delete_face(request.path_params["target"])
+        target = request.path_params["target"]
+        result = svc.delete_face(target)
         if not result["success"]:
             raise HTTPError(404, result["message"])
-        return json_response(result)
+        # reference envelope (face.py:565): FaceUpload.jsx:126 keys off
+        # payload.status === "success" and alerts payload.message
+        return json_response(
+            {
+                "status": "success",
+                "message": result.get("message") or f"Face '{target}' deleted",
+                "target": target,
+                "logs_deleted": result.get("logs_deleted", False),
+                **result,
+            }
+        )
 
     @router.patch("/face/update/{target}")
     async def face_update(request: Request):
@@ -232,12 +309,43 @@ def register(router, ctx):
             raise HTTPError(422, "multipart field 'file' is required")
         if upload.size > max_bytes:
             raise HTTPError(413, "file too large")
-        tolerance = float(fields.get("tolerance", svc.tolerance))
+        tolerance = float(
+            request.query.get("threshold")  # reference face.py:653 query param
+            or fields.get("tolerance", svc.tolerance)
+        )
+        top_k = int(request.query.get("top_k") or fields.get("top_k", 5))
         image = decode_image(upload.data)
         result = await asyncio.to_thread(svc.compare_image, image, tolerance)
         if not result["success"]:
             raise HTTPError(400, result.get("message", "compare failed"))
-        return json_response(result)
+        # reference envelope (face.py:697-705) around the first face's
+        # comparisons; `comparisons` (target/match/distance) is additive so
+        # the client's results table actually renders (FaceUpload.jsx:497-546
+        # reads .comparisons, which the reference never supplies)
+        first = result["results"][0] if result["results"] else {}
+        gallery = first.get("gallery_size", 0)
+        matches = list(first.get("matches", []))[:top_k]
+        comparisons = [
+            {**m, "match": m["distance"] <= tolerance} for m in matches
+        ]
+        best = first.get("best_match")
+        if not comparisons and best is not None:
+            comparisons = [{**best, "match": bool(first.get("match_found"))}]
+        return json_response(
+            {
+                "status": "success",
+                "filename": upload.filename,
+                "threshold": tolerance,
+                "total_faces_checked": gallery,
+                "matches_found": len(matches),
+                "top_matches": [
+                    {**m, "match": True} for m in matches
+                ],
+                "all_comparisons": None if matches else comparisons,
+                "comparisons": comparisons,
+                **result,  # extensions: success/face_count/results
+            }
+        )
 
     @router.get("/face/search")
     async def face_search(request: Request):

@@ -6,6 +6,7 @@ contract (17 endpoints under /face/fl), backed by the FederatedService
 from __future__ import annotations
 
 import asyncio
+from datetime import datetime
 
 import numpy as np
 
@@ -70,7 +71,30 @@ def register(router, ctx):
             result = await asyncio.to_thread(fl.upload_weights, client_id, weights)
         except FedAvgError as e:
             raise HTTPError(400, str(e))
-        return json_response(result)
+        top = fl.status()
+        # reference envelope (federated.py:248-258): App.jsx:291 keys off
+        # status === "success"
+        return json_response(
+            {
+                "status": "success",
+                "message": f"Federated weights received for client '{client_id}'",
+                "client_id": client_id,
+                "round": result["round"],
+                "layers": result["layers"],
+                "total_parameters": result["total_params"],
+                "contribution_count": next(
+                    (
+                        c.get("contribution_count", 0)
+                        for c in fl.list_clients()
+                        if c.get("client_id") == client_id
+                    ),
+                    0,
+                ),
+                "global_model_version": top["version"],
+                "timestamp": datetime.now().isoformat(),
+                **result,  # extensions: success/warning/total_params
+            }
+        )
 
     @router.post("/face/fl/aggregate")
     async def aggregate(request: Request):
@@ -90,7 +114,38 @@ def register(router, ctx):
             )
         except FedAvgError as e:
             raise HTTPError(400, str(e))
-        return json_response(result)
+        gm = fl.get_weights(result["global_model"])
+        # reference envelope (federated.py:672-690); new_model_version /
+        # model_version are additive so App.jsx:327/574 renders a number
+        # instead of the reference's literal `undefined`
+        return json_response(
+            {
+                "status": "success",
+                "message": "Model aggregation completed successfully",
+                "global_model": {
+                    "id": result["global_model"],
+                    "version": result["version"],
+                    "round": result["round"],
+                    "layers": sorted(gm.keys()) if gm else result.get("layer_count"),
+                    "total_parameters": int(
+                        sum(np.asarray(w).size for w in (gm or {}).values())
+                    ),
+                },
+                "aggregation_details": {
+                    "clients_aggregated": len(result["clients"]),
+                    "client_ids": result["clients"],
+                    "algorithm": "fedavg",
+                    "weights_strategy": "contribution" if proportional else "equal",
+                    "aggregation_weights": result["weights"],
+                },
+                "timestamp": result["timestamp"],
+                "new_model_version": result["version"],
+                "model_version": result["version"],
+                # extensions: success/round/version/clients/backend/...
+                **{k: v for k, v in result.items() if k != "global_model"},
+                "global_model_id": result["global_model"],
+            }
+        )
 
     @router.get("/face/fl/status")
     async def status(request: Request):

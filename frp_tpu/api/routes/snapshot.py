@@ -47,14 +47,18 @@ def register(router, ctx):
                     except ImportError:
                         pass
         if data is None:
+            # X-Placeholder: the grid client keys off it (reference
+            # snapshot.py:171, CameraGrid.jsx:137-147)
             return Response(
-                PLACEHOLDER_SVG, 404, "image/svg+xml", {"Cache-Control": "no-store"}
+                PLACEHOLDER_SVG, 404, "image/svg+xml",
+                {"Cache-Control": "no-cache, no-store", "X-Placeholder": "1"},
             )
 
         etag = _etag(data)
         if request.headers.get("if-none-match") == etag:
             return Response(b"", 304, "image/jpeg", {"ETag": etag})
 
+        headers = {"ETag": etag, "Cache-Control": "max-age=5"}
         if request.query_bool("enhance"):
             async def enhance_task():
                 enhanced = await asyncio.to_thread(enhance_snapshot_bytes, data)
@@ -62,8 +66,6 @@ def register(router, ctx):
                     ctx.thumbnails.set(key, enhanced)
 
             asyncio.get_running_loop().create_task(enhance_task())
+            headers["X-Enhance-Requested"] = "1"  # reference snapshot.py:116,144
 
-        return Response(
-            data, 200, "image/jpeg",
-            {"ETag": etag, "Cache-Control": "max-age=5"},
-        )
+        return Response(data, 200, "image/jpeg", headers)

@@ -189,7 +189,8 @@ def _upload(router, target, value=128, **fields):
 def test_face_upload_and_lifecycle(app):
     router, ctx = app
     status, data, _ = _upload(router, "alice")
-    assert status == 201 and data["success"] and data["target"] == "alice"
+    # reference face.py:292 returns 200 on success
+    assert status == 200 and data["success"] and data["target"] == "alice"
     # duplicate without override -> 409
     with pytest.raises(HTTPError) as e:
         _upload(router, "alice", value=129)
