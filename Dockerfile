@@ -15,6 +15,9 @@ RUN pip install --no-cache-dir \
 
 COPY frp_tpu /app/frp_tpu
 COPY tools /app/tools
+COPY frontend /app/frontend
+COPY native /app/native
+COPY weights /app/weights
 
 ENV PYTHONPATH=/app \
     DATA_DIR=/data \

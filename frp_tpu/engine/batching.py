@@ -37,10 +37,17 @@ class BatchMeta:
     orig_hw: list = field(default_factory=list)
 
 
-def letterbox(frame: np.ndarray, size: int, to_rgb: bool = False):
-    """Uniform-scale resize + pad to [size, size]. Returns (img, scale, (ox, oy))."""
+def letterbox(frame: np.ndarray, size: int, to_rgb: bool = False, rows: int | None = None):
+    """Uniform-scale resize + pad to [rows or size, size].
+    Returns (img, scale, (ox, oy)).
+
+    ``rows`` < size produces the ACTIVE-AREA canvas: a 16:9 1080p frame only
+    fills 640x360 of a det-640 square, so shipping 640x368 and letting the
+    device pad the dead rows cuts host->device bytes by ~43% with
+    bit-identical detector input (the pad is black either way)."""
     h, w = frame.shape[:2]
-    s = min(size / w, size / h)
+    rows = size if rows is None else rows
+    s = min(size / w, rows / h)
     nw, nh = max(1, int(round(w * s))), max(1, int(round(h * s)))
     if cv2 is not None:
         interp = cv2.INTER_AREA if s < 1.0 else cv2.INTER_LINEAR
@@ -53,11 +60,25 @@ def letterbox(frame: np.ndarray, size: int, to_rgb: bool = False):
         resized = frame[yi][:, xi]
         if to_rgb:
             resized = resized[..., ::-1]
-    out = np.zeros((size, size, 3), np.uint8)
+    out = np.zeros((rows, size, 3), np.uint8)
     ox = (size - nw) // 2
-    oy = (size - nh) // 2
+    oy = (rows - nh) // 2
     out[oy : oy + nh, ox : ox + nw] = resized
     return out, s, (ox, oy)
+
+
+def active_rows_for(shapes, size: int) -> int | None:
+    """Pick the I420 active-row count for a batch of source frame shapes
+    ((h, w) pairs). Returns None when the full square is needed (portrait /
+    near-square sources) — callers then ship [size, size] as before.
+    Rounded up to a multiple of 16 (I420 plane reshape needs %4; 16 keeps
+    the device pad tile-friendly)."""
+    need = 0
+    for h, w in shapes:
+        s = min(size / w, size / h)
+        need = max(need, int(round(h * s)))
+    rows = min(size, ((need + 15) // 16) * 16)
+    return None if rows >= size else rows
 
 
 def build_batch(
@@ -96,9 +117,16 @@ def build_batch(
 
 
 def build_batch_i420(
-    frames: dict, size: int, slots: int | None = None
+    frames: dict, size: int, slots: int | None = None,
+    active_rows: int | None = None,
 ) -> tuple[np.ndarray, BatchMeta]:
     """I420 variant of build_batch — halves the host->device bytes.
+
+    ``active_rows`` ships only that many letterboxed rows per frame (the
+    16:9 active area of a det square); the engine's ingest stage pads the
+    dead rows back on device (black, bit-identical to the host letterbox),
+    cutting upload bytes by rows/size. Meta offsets are in FULL-square
+    coordinates so decode/unmap are unchanged.
 
     Path selection: cv2 (SIMD letterbox + cvtColor, fastest measured) ->
     native framepack (fused C++ kernel, native/framepack.cpp) -> error.
@@ -106,9 +134,12 @@ def build_batch_i420(
     """
     cam_ids = list(frames.keys())
     b = slots or max(1, len(cam_ids))
-    batch = np.zeros((b, size * 3 // 2, size), np.uint8)
-    batch[:, size:, :] = 128  # empty slots = black (U=V=128)
-    batch[:, :size, :] = 16
+    rows = size if active_rows is None else active_rows
+    assert rows % 16 == 0 and rows <= size, rows
+    oy_pad = (size - rows) // 2  # where the device places the active rows
+    batch = np.zeros((b, rows * 3 // 2, size), np.uint8)
+    batch[:, rows:, :] = 128  # empty slots = black (U=V=128)
+    batch[:, :rows, :] = 16
     meta = BatchMeta(
         cam_ids=cam_ids + [None] * (b - len(cam_ids)),
         scales=np.ones((b,), np.float32),
@@ -125,13 +156,15 @@ def build_batch_i420(
         return batch, meta
     if cv2 is not None:
         for i, frame in live:
-            boxed, s, (ox, oy) = letterbox(frame, size)
+            boxed, s, (ox, oy) = letterbox(frame, size, rows=rows)
             batch[i] = cv2.cvtColor(boxed, cv2.COLOR_BGR2YUV_I420)
             meta.scales[i] = s
-            meta.offsets[i] = (ox, oy)
+            meta.offsets[i] = (ox, oy + oy_pad)
             meta.frame_ok[i] = True
             meta.orig_hw[i] = frame.shape[:2]
         return batch, meta
+    if active_rows is not None:
+        raise RuntimeError("active_rows packing requires cv2")
     from frp_tpu.utils.native import letterbox_i420_batch
 
     packed = letterbox_i420_batch([f for _, f in live], size)

@@ -352,8 +352,18 @@ def build_stages(
         }
 
     def ingest_stage(yuv):
-        # I420 -> RGB uint8 once; detect + crop reuse the device-resident RGB
-        return yuv420_to_rgb(yuv).astype(jnp.uint8)
+        # I420 -> RGB uint8 once; detect + crop reuse the device-resident RGB.
+        # Active-rows transfer (batching.build_batch_i420 active_rows): the
+        # host ships only the letterboxed content rows; pad the dead rows
+        # back to the det square HERE (black — bit-identical to the host
+        # letterbox pad, which encodes black as Y=16/UV=128). Shapes are
+        # static per compile, so the pad widths are trace-time constants.
+        rgb = yuv420_to_rgb(yuv).astype(jnp.uint8)
+        rows, size = rgb.shape[1], rgb.shape[2]
+        if rows < size:
+            top = (size - rows) // 2
+            rgb = jnp.pad(rgb, ((0, 0), (top, size - rows - top), (0, 0), (0, 0)))
+        return rgb
 
     def pack_stage(dets, crop_out, emb_out, match_out):
         """Concatenate every per-face scalar output into ONE [B, M, 22] f32

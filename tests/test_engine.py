@@ -188,3 +188,54 @@ def test_fetch_many_groups_batches(engine):
     assert len(outs) == 3
     for o in outs:
         assert o["boxes"].shape == (1, 4, 4) and o["count"].shape == (1,)
+
+
+def test_active_rows_transfer_equivalence(engine):
+    """Active-area I420 transfer (batching.build_batch_i420 active_rows=...)
+    must feed the detector bit-identical pixels to the full-square path —
+    same letterbox content, device-side pad replacing the host pad."""
+    import cv2
+
+    from frp_tpu.engine.batching import (
+        active_rows_for,
+        build_batch_i420,
+        unmap_results,
+    )
+    from frp_tpu.train.synthetic import render_face
+
+    rng = np.random.default_rng(4)
+    # 16:9 frames: DET=128 -> active rows 72 -> rounded to 80
+    frames = {}
+    for c in range(2):
+        rgb = rng.integers(20, 110, size=(360, 640, 3), dtype=np.uint8)
+        render_face(rgb, 320 + 40 * c, 180, 150.0, rng)
+        frames[c] = np.ascontiguousarray(rgb[..., ::-1])
+
+    rows = active_rows_for([f.shape[:2] for f in frames.values()], DET)
+    assert rows is not None and rows % 16 == 0 and rows < DET
+
+    full, meta_full = build_batch_i420(frames, DET)
+    act, meta_act = build_batch_i420(frames, DET, active_rows=rows)
+    assert act.shape == (2, rows * 3 // 2, DET)
+    assert act.nbytes < full.nbytes
+    # offsets are in full-square coordinates on both paths
+    assert np.allclose(meta_act.scales, meta_full.scales)
+    assert np.allclose(meta_act.offsets, meta_full.offsets, atol=1.0)
+
+    # the device sees the same det square: ingest(act) == ingest(full)
+    rgb_full = np.asarray(engine._stages["ingest"](jnp.asarray(full)))
+    rgb_act = np.asarray(engine._stages["ingest"](jnp.asarray(act)))
+    assert rgb_full.shape == rgb_act.shape == (2, DET, DET, 3)
+    assert np.array_equal(rgb_full, rgb_act)
+
+    out_full = engine.process_frames(full, fmt="yuv420")
+    out_act = engine.process_frames(act, fmt="yuv420")
+    assert np.array_equal(out_full["valid"], out_act["valid"])
+    assert np.allclose(out_full["boxes"], out_act["boxes"], atol=1e-4)
+    # unmapped per-camera boxes land at the same original-frame coordinates
+    res_full = unmap_results(out_full, meta_full)
+    res_act = unmap_results(out_act, meta_act)
+    for a, b in zip(res_full, res_act):
+        assert len(a["faces"]) == len(b["faces"])
+        for fa, fb in zip(a["faces"], b["faces"]):
+            assert np.allclose(fa["box"], fb["box"], atol=1.0)
