@@ -123,6 +123,12 @@ async def serve(
             await asyncio.to_thread(
                 ctx.engine.warmup, max(1, len(ctx.cameras.ids()))
             )
+            # also compile the exact serving shapes (active-rows I420 ingest
+            # for the real camera geometry) so the first /camera/alerts never
+            # pays a remote compile (5-40 s on this setup, CLAUDE.md gotcha 9)
+            await asyncio.to_thread(
+                ctx.run_scan, ctx.cfg.face_tolerance, ctx.cfg.frame_skip, 10
+            )
         except Exception:
             logger.exception("engine warmup failed (continuing)")
 

@@ -99,17 +99,40 @@ class DeepfakeService:
     def classify_frames(self, frames: list[np.ndarray]) -> list[dict]:
         """Run BGR frames through the engine; per-frame max fake prob over
         detected faces (no face -> no contribution)."""
-        from frp_tpu.engine.batching import build_batch, unmap_results
+        from frp_tpu.engine.batching import (
+            active_rows_for,
+            build_batch,
+            build_batch_i420,
+            unmap_results,
+        )
+
+        try:
+            import cv2  # noqa: F401  — i420 packing needs it
+            has_cv2 = True
+        except ImportError:
+            has_cv2 = False
 
         results = []
         size = self.engine.cfg.det_size
         chunk = max(1, self.engine.cfg.frames_per_batch)
+        use_i420 = (
+            has_cv2 and getattr(self.engine, "preferred_fmt", "rgb") == "yuv420"
+        )
         for start in range(0, len(frames), chunk):
             part = frames[start : start + chunk]
-            batch, meta = build_batch(
-                {i: f for i, f in enumerate(part)}, size, slots=len(part)
-            )
-            out = self.engine.process_frames(batch)
+            if use_i420:
+                # active-rows I420: same transfer cut as the camera scan loop
+                rows = active_rows_for([f.shape[:2] for f in part], size)
+                batch, meta = build_batch_i420(
+                    {i: f for i, f in enumerate(part)}, size,
+                    slots=len(part), active_rows=rows,
+                )
+                out = self.engine.process_frames(batch, fmt="yuv420")
+            else:
+                batch, meta = build_batch(
+                    {i: f for i, f in enumerate(part)}, size, slots=len(part)
+                )
+                out = self.engine.process_frames(batch)
             per_cam = unmap_results(out, meta)
             by_idx = {r["camera_id"]: r["faces"] for r in per_cam}
             for i in range(len(part)):

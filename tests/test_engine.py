@@ -239,3 +239,42 @@ def test_active_rows_transfer_equivalence(engine):
         assert len(a["faces"]) == len(b["faces"])
         for fa, fb in zip(a["faces"], b["faces"]):
             assert np.allclose(fa["box"], fb["box"], atol=1.0)
+
+
+def test_deepfake_classify_frames_i420_path(engine, monkeypatch):
+    """DeepfakeService.classify_frames rides the active-rows I420 transfer
+    when the engine prefers yuv420. Active-rows vs full-square i420 must be
+    EXACTLY equal — the device pad reconstructs the identical det square.
+    (The RGB path legitimately differs: the spoof head is trained on
+    resample artifacts, and chroma subsampling is one.)"""
+    import frp_tpu.platform.deepfake as dfmod
+    from frp_tpu.platform.deepfake import DeepfakeService
+    from frp_tpu.train.synthetic import render_face
+
+    rng = np.random.default_rng(11)
+    frames = []
+    for i in range(3):
+        rgb = rng.integers(20, 110, size=(288, 512, 3), dtype=np.uint8)
+        render_face(rgb, 256 + 30 * i, 144, 120.0, rng)
+        frames.append(np.ascontiguousarray(rgb[..., ::-1]))  # BGR
+
+    svc = DeepfakeService(engine)
+    assert getattr(engine, "preferred_fmt", "rgb") == "yuv420"
+    res_active = svc.classify_frames(frames)
+    # the DET=128 test grid is borderline for some renders; require that the
+    # path works end-to-end, not that every render is detected
+    assert len(res_active) == 3 and any(r["faces"] >= 1 for r in res_active)
+
+    # force the full-square i420 path (active_rows=None) and re-run
+    import frp_tpu.engine.batching as batching
+    monkeypatch.setattr(batching, "active_rows_for", lambda shapes, size: None)
+    monkeypatch.setattr(
+        dfmod, "active_rows_for", lambda shapes, size: None, raising=False
+    )
+    res_full = svc.classify_frames(frames)
+
+    assert len(res_full) == 3
+    for a, b in zip(res_active, res_full):
+        assert a["faces"] == b["faces"]
+        if a["fake_prob"] is not None:
+            assert abs(a["fake_prob"] - b["fake_prob"]) < 1e-5
