@@ -163,11 +163,9 @@ def build_batch_i420(
             meta.frame_ok[i] = True
             meta.orig_hw[i] = frame.shape[:2]
         return batch, meta
-    if active_rows is not None:
-        raise RuntimeError("active_rows packing requires cv2")
     from frp_tpu.utils.native import letterbox_i420_batch
 
-    packed = letterbox_i420_batch([f for _, f in live], size)
+    packed = letterbox_i420_batch([f for _, f in live], size, rows=rows)
     if packed is None:
         raise RuntimeError("no I420 packer available (cv2 and native missing)")
     out, scales, offsets = packed

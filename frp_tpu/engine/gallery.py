@@ -125,6 +125,34 @@ class DeviceGallery:
                 continue
         return count
 
+    def load_matrix(self, names: list[str], matrix: np.ndarray) -> int:
+        """Vectorized bulk hydrate from a [N, D] matrix — the per-entry path
+        costs a Python iteration per identity, which matters at the 10^5-10^6
+        gallery sizes the device design supports. New names only; rows whose
+        name already exists are skipped (use add() to overwrite)."""
+        m = np.asarray(matrix, np.float32)
+        if m.ndim != 2 or m.shape[1] != self.embed_dim:
+            raise ValueError(f"matrix shape {m.shape} != [N, {self.embed_dim}]")
+        if len(names) != m.shape[0]:
+            raise ValueError("names/matrix length mismatch")
+        with self._lock:
+            fresh = [
+                (n, i) for i, n in enumerate(names) if n not in self._index
+            ]
+            if not fresh:
+                return 0
+            base = len(self._names)
+            self._grow(base + len(fresh))
+            rows = np.fromiter((i for _, i in fresh), np.int64, len(fresh))
+            self._host[base : base + len(fresh)] = m[rows]
+            self._valid[base : base + len(fresh)] = True
+            for k, (n, _) in enumerate(fresh):
+                self._names.append(n)
+                self._index[n] = base + k
+            self._device = None
+            self._version += 1
+            return len(fresh)
+
     def device_arrays(self):
         """(matrix [capacity, D], valid [capacity]) as device arrays."""
         with self._lock:

@@ -37,6 +37,31 @@ def pairwise_euclidean(queries: jnp.ndarray, gallery: jnp.ndarray) -> jnp.ndarra
     return jnp.sqrt(jnp.maximum(d2, 0.0))
 
 
+_CHUNK = 1024
+_CHUNK_MIN_N = 16384
+
+
+def _exact_topk(neg: jnp.ndarray, k: int):
+    """EXACT top-k over the gallery axis, two-stage above _CHUNK_MIN_N.
+
+    lax.top_k over a [B, 2^20] row is the bottleneck of million-identity
+    galleries (measured: 335 ms/batch at N=1M, benchmarks/profile_gallery.py).
+    Split the axis into chunks, take top-k per chunk, then top-k over the
+    (N/chunk)*k survivors — exact, because each global top-k element is by
+    definition in the top-k of its own chunk.
+    """
+    b, n = neg.shape
+    if n < _CHUNK_MIN_N or n % _CHUNK != 0 or k > _CHUNK:
+        return jax.lax.top_k(neg, k)
+    chunks = n // _CHUNK
+    neg_c, idx_c = jax.lax.top_k(neg.reshape(b, chunks, _CHUNK), k)
+    base = (jnp.arange(chunks, dtype=idx_c.dtype) * _CHUNK)[None, :, None]
+    cand_neg = neg_c.reshape(b, chunks * k)
+    cand_idx = (idx_c + base).reshape(b, chunks * k)
+    top_neg, sel = jax.lax.top_k(cand_neg, k)
+    return top_neg, jnp.take_along_axis(cand_idx, sel, axis=1)
+
+
 @partial(jax.jit, static_argnames=("top_k",))
 def gallery_match(
     queries: jnp.ndarray,
@@ -61,7 +86,7 @@ def gallery_match(
     dist = pairwise_euclidean(queries, gallery)
     dist = jnp.where(gallery_valid[None, :], dist, big)
     k = min(top_k, gallery.shape[0])
-    neg_top, top_idx = jax.lax.top_k(-dist, k)
+    neg_top, top_idx = _exact_topk(-dist, k)
     best_idx = top_idx[:, 0]
     best_distance = -neg_top[:, 0]
     return {

@@ -59,10 +59,15 @@ def get_framepack():
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
-            lib.framepack_letterbox_i420.argtypes = [
+            lib.framepack_version.restype = ctypes.c_int
+            if lib.framepack_version() < 2 and _build():
+                lib = ctypes.CDLL(_LIB_PATH)  # stale prebuilt; rebuilt v2
+                lib.framepack_version.restype = ctypes.c_int
+            lib.framepack_letterbox_i420_rows.argtypes = [
                 ctypes.POINTER(ctypes.c_void_p),
                 ctypes.POINTER(ctypes.c_int),
                 ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int,
                 ctypes.c_int,
                 ctypes.c_int,
                 ctypes.c_void_p,
@@ -70,24 +75,27 @@ def get_framepack():
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.c_int,
             ]
-            lib.framepack_version.restype = ctypes.c_int
-            assert lib.framepack_version() == 1
+            assert lib.framepack_version() == 2
             _lib = lib
-        except (OSError, AssertionError) as e:
+        except (OSError, AttributeError, AssertionError) as e:
             logger.info("framepack load failed (%s); using cv2 path", e)
             _lib = None
         return _lib
 
 
 def letterbox_i420_batch(
-    frames: list[np.ndarray], size: int, n_threads: int = 4
+    frames: list[np.ndarray], size: int, n_threads: int = 4,
+    rows: int | None = None,
 ):
-    """Fused native path: list of HxWx3 BGR uint8 -> ([N, size*3//2, size]
-    I420 uint8, scales [N], offsets [N, 2]). Returns None when the native
+    """Fused native path: list of HxWx3 BGR uint8 -> ([N, rows*3//2, size]
+    I420 uint8, scales [N], offsets [N, 2] in full-square coordinates).
+    ``rows`` < size packs only the active letterbox area (the engine's
+    ingest stage pads the rest on device). Returns None when the native
     library is unavailable (caller falls back to cv2)."""
     lib = get_framepack()
     if lib is None or not frames:
         return None
+    rows = size if rows is None else rows
     n = len(frames)
     contiguous = [np.ascontiguousarray(f, dtype=np.uint8) for f in frames]
     ptrs = (ctypes.c_void_p * n)(
@@ -95,15 +103,16 @@ def letterbox_i420_batch(
     )
     heights = (ctypes.c_int * n)(*[f.shape[0] for f in contiguous])
     widths = (ctypes.c_int * n)(*[f.shape[1] for f in contiguous])
-    out = np.empty((n, size * 3 // 2, size), np.uint8)
+    out = np.empty((n, rows * 3 // 2, size), np.uint8)
     scales = np.empty((n,), np.float32)
     offsets = np.empty((n, 2), np.float32)
-    lib.framepack_letterbox_i420(
+    lib.framepack_letterbox_i420_rows(
         ctypes.cast(ptrs, ctypes.POINTER(ctypes.c_void_p)),
         heights,
         widths,
         n,
         size,
+        rows,
         out.ctypes.data_as(ctypes.c_void_p),
         scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

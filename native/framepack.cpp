@@ -56,25 +56,29 @@ inline void bgr_to_yuv(float b, float g, float r, uint8_t* y, uint8_t* u, uint8_
     }
 }
 
-void pack_one(const uint8_t* frame, int h, int w, int size, uint8_t* out,
-              float* scale, float* offsets) {
+// rows == size packs the full letterbox square; rows < size packs only the
+// ACTIVE area (the device pads the dead rows back — see
+// frp_tpu.engine.batching.build_batch_i420 active_rows). Offsets are
+// reported in FULL-square coordinates either way.
+void pack_one(const uint8_t* frame, int h, int w, int size, int rows,
+              uint8_t* out, float* scale, float* offsets) {
     const float s = std::min(static_cast<float>(size) / w,
-                             static_cast<float>(size) / h);
+                             static_cast<float>(rows) / h);
     const int nw = std::max(1, static_cast<int>(w * s + 0.5f));
     const int nh = std::max(1, static_cast<int>(h * s + 0.5f));
     const int ox = (size - nw) / 2;
-    const int oy = (size - nh) / 2;
+    const int oy = (rows - nh) / 2;
     *scale = s;
     offsets[0] = static_cast<float>(ox);
-    offsets[1] = static_cast<float>(oy);
+    offsets[1] = static_cast<float>(oy + (size - rows) / 2);
 
-    uint8_t* yplane = out;                       // size x size
-    uint8_t* uplane = out + size * size;         // (size/2)^2, rows of width size
-    uint8_t* vplane = uplane + size * size / 4;
+    uint8_t* yplane = out;                       // rows x size
+    uint8_t* uplane = out + rows * size;         // rows/2 x size/2, width-size rows
+    uint8_t* vplane = uplane + rows * size / 4;
     // black padding: Y=16, U=V=128 (studio swing)
-    std::memset(yplane, 16, static_cast<size_t>(size) * size);
-    std::memset(uplane, 128, static_cast<size_t>(size) * size / 4);
-    std::memset(vplane, 128, static_cast<size_t>(size) * size / 4);
+    std::memset(yplane, 16, static_cast<size_t>(rows) * size);
+    std::memset(uplane, 128, static_cast<size_t>(rows) * size / 4);
+    std::memset(vplane, 128, static_cast<size_t>(rows) * size / 4);
 
     const float inv = 1.0f / s;
     for (int yy = 0; yy < nh; ++yy) {
@@ -106,15 +110,18 @@ void pack_one(const uint8_t* frame, int h, int w, int size, uint8_t* out,
 extern "C" {
 
 // frames: n pointers to HxWx3 BGR uint8 buffers.
-// out: n * (size*size*3/2) bytes — the I420 batch [n, size*3/2, size].
-// scales: n floats; offsets: n*2 floats (ox, oy).
-void framepack_letterbox_i420(const uint8_t** frames, const int* heights,
-                              const int* widths, int n, int size, uint8_t* out,
-                              float* scales, float* offsets, int n_threads) {
-    const size_t frame_bytes = static_cast<size_t>(size) * size * 3 / 2;
+// out: n * (size*rows*3/2) bytes — the I420 batch [n, rows*3/2, size].
+// scales: n floats; offsets: n*2 floats (ox, oy in full-square coords).
+// rows == size for the full letterbox square; rows < size (multiple of 16)
+// packs only the active area (device pads the rest).
+void framepack_letterbox_i420_rows(const uint8_t** frames, const int* heights,
+                                   const int* widths, int n, int size, int rows,
+                                   uint8_t* out, float* scales, float* offsets,
+                                   int n_threads) {
+    const size_t frame_bytes = static_cast<size_t>(rows) * size * 3 / 2;
     if (n_threads <= 1 || n <= 1) {
         for (int i = 0; i < n; ++i) {
-            pack_one(frames[i], heights[i], widths[i], size,
+            pack_one(frames[i], heights[i], widths[i], size, rows,
                      out + i * frame_bytes, scales + i, offsets + 2 * i);
         }
         return;
@@ -125,7 +132,7 @@ void framepack_letterbox_i420(const uint8_t** frames, const int* heights,
     for (int k = 0; k < t; ++k) {
         workers.emplace_back([&]() {
             for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
-                pack_one(frames[i], heights[i], widths[i], size,
+                pack_one(frames[i], heights[i], widths[i], size, rows,
                          out + i * frame_bytes, scales + i, offsets + 2 * i);
             }
         });
@@ -133,6 +140,14 @@ void framepack_letterbox_i420(const uint8_t** frames, const int* heights,
     for (auto& w : workers) w.join();
 }
 
-int framepack_version() { return 1; }
+// v1 ABI kept for prebuilt callers.
+void framepack_letterbox_i420(const uint8_t** frames, const int* heights,
+                              const int* widths, int n, int size, uint8_t* out,
+                              float* scales, float* offsets, int n_threads) {
+    framepack_letterbox_i420_rows(frames, heights, widths, n, size, size, out,
+                                  scales, offsets, n_threads);
+}
+
+int framepack_version() { return 2; }
 
 }  // extern "C"

@@ -278,3 +278,25 @@ def test_deepfake_classify_frames_i420_path(engine, monkeypatch):
         assert a["faces"] == b["faces"]
         if a["fake_prob"] is not None:
             assert abs(a["fake_prob"] - b["fake_prob"]) < 1e-5
+
+
+def test_gallery_load_matrix(engine):
+    from frp_tpu.engine.gallery import DeviceGallery
+
+    g = DeviceGallery(embed_dim=8)
+    rng = np.random.default_rng(0)
+    m = rng.normal(size=(300, 8)).astype(np.float32)
+    names = [f"p{i}" for i in range(300)]
+    assert g.load_matrix(names, m) == 300
+    assert len(g) == 300 and g.capacity >= 300
+    assert np.allclose(g.get("p123"), m[123])
+    # duplicates skipped, fresh appended
+    m2 = rng.normal(size=(3, 8)).astype(np.float32)
+    assert g.load_matrix(["p0", "q1", "q2"], m2) == 2
+    assert len(g) == 302
+    assert np.allclose(g.get("p0"), m[0])  # not overwritten
+    assert np.allclose(g.get("q2"), m2[2])
+    mat, valid = g.device_arrays()
+    assert int(np.asarray(valid).sum()) == 302
+    with pytest.raises(ValueError):
+        g.load_matrix(["x"], np.zeros((1, 5), np.float32))

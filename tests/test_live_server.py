@@ -116,7 +116,7 @@ def test_http_multipart_upload_over_socket(server_port):
         )
 
     status, _, resp = asyncio.run(go())
-    assert status == 201, resp
+    assert status == 200, resp  # reference face.py:292 returns 200
     assert json.loads(resp)["target"] == "live_person"
     assert "live_person" in ctx.face_service.get_all_targets()
 

@@ -63,3 +63,41 @@ def test_framepack_ingests_through_device_path():
     # center of the letterboxed region should be ~128 gray
     center = rgb[0, 32, 32]
     np.testing.assert_allclose(center, 128.0, atol=6.0)
+
+
+def test_native_active_rows_matches_cv2_path():
+    """framepack v2 rows-mode must agree with the cv2 active-rows path:
+    same shapes, offsets in full-square coordinates, near-equal pixels."""
+    cv2 = pytest.importorskip("cv2")
+    from frp_tpu.engine.batching import build_batch_i420, letterbox
+    from frp_tpu.utils.native import get_framepack, letterbox_i420_batch
+
+    if get_framepack() is None:
+        pytest.skip("native framepack unavailable")
+
+    size, rows = 128, 80
+    # smooth gradients: cv2 downscales with INTER_AREA, the native kernel is
+    # bilinear — on noise that measures the resamplers, not the packer
+    yy, xx = np.mgrid[0:90, 0:160]
+    frames = [
+        np.ascontiguousarray(
+            np.stack([(yy + 17 * k) % 256, (xx + 31 * k) % 256,
+                      (yy + xx + 7 * k) % 256], axis=-1).astype(np.uint8)
+        )
+        for k in range(3)
+    ]
+    packed = letterbox_i420_batch(frames, size, rows=rows)
+    assert packed is not None
+    out, scales, offsets = packed
+    assert out.shape == (3, rows * 3 // 2, size)
+
+    # cv2 reference for the same geometry
+    oy_pad = (size - rows) // 2
+    for i, f in enumerate(frames):
+        boxed, s, (ox, oy) = letterbox(f, size, rows=rows)
+        ref = cv2.cvtColor(boxed, cv2.COLOR_BGR2YUV_I420)
+        assert abs(scales[i] - s) < 1e-6
+        assert offsets[i][0] == ox and offsets[i][1] == oy + oy_pad
+        # bilinear + integer-rounding differences stay small on the Y plane
+        diff = np.abs(out[i, :rows].astype(int) - ref[:rows].astype(int))
+        assert np.median(diff) <= 1.0 and np.mean(diff) < 3.0

@@ -140,3 +140,50 @@ def test_find_k_nearest_ordering():
     idx = find_k_nearest(d, 3)
     np.testing.assert_array_equal(idx, [1, 3, 0])
     assert len(find_k_nearest(d, 10)) == 4
+
+
+def test_exact_topk_chunked_equals_direct():
+    """The two-stage gallery top-k (matching._exact_topk, engaged above
+    16384 rows) must be exactly equal to lax.top_k — including when several
+    global winners land in the same chunk."""
+    import jax
+    import jax.numpy as jnp
+
+    from frp_tpu.ops import matching
+
+    rng = np.random.default_rng(0)
+    n = matching._CHUNK_MIN_N  # engages the chunked path (divisible by _CHUNK)
+    neg = rng.normal(size=(4, n)).astype(np.float32)
+    # cluster winners: plant the global top-5 of row 0 inside ONE chunk
+    neg[0, 100:105] = [9.0, 8.5, 8.0, 7.5, 7.0]
+    got_v, got_i = jax.jit(matching._exact_topk, static_argnums=1)(
+        jnp.asarray(neg), 5
+    )
+    want_v, want_i = jax.lax.top_k(jnp.asarray(neg), 5)
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    assert list(np.asarray(got_i)[0]) == [100, 101, 102, 103, 104]
+
+
+def test_gallery_match_large_gallery_chunked():
+    """gallery_match at a chunk-path gallery size returns the same winners
+    as a small-gallery scan restricted to the same live rows."""
+    import jax.numpy as jnp
+
+    from frp_tpu.ops.matching import gallery_match
+
+    rng = np.random.default_rng(1)
+    n, d = 16384, 32
+    gal = rng.normal(size=(n, d)).astype(np.float32)
+    gal /= np.linalg.norm(gal, axis=1, keepdims=True)
+    valid = np.zeros((n,), bool)
+    valid[:5000] = True
+    q = gal[[7, 4321]] + 0.01 * rng.normal(size=(2, d)).astype(np.float32)
+    out = gallery_match(jnp.asarray(q), jnp.asarray(gal), jnp.asarray(valid))
+    assert list(np.asarray(out["best_idx"])) == [7, 4321]
+    assert np.all(np.asarray(out["best_distance"]) < 0.1)
+    assert np.all(np.asarray(out["is_match"]))
+    # invalid rows never win: query near an invalid row matches elsewhere
+    q2 = gal[[6000]]
+    out2 = gallery_match(jnp.asarray(q2), jnp.asarray(gal), jnp.asarray(valid))
+    assert int(np.asarray(out2["best_idx"])[0]) < 5000
