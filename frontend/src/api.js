@@ -119,14 +119,19 @@ export async function safeRequest(promise) {
 
 const get = (url, opts) => doFetch("GET", url, opts);
 const del = (url, opts) => doFetch("DELETE", url, opts);
+// POSTs are mutations: a timed-out aggregate/upload that silently retries
+// can double-enroll or run extra aggregation rounds (the reference axios
+// interceptor retries every method on network error — a defect, not a
+// contract; api.js:61-64). Opt back in per-call with retryAllowed: true.
 const postJson = (url, payload, opts = {}) =>
   doFetch("POST", url, {
+    retryAllowed: false,
     ...opts,
     body: JSON.stringify(payload ?? {}),
     headers: { "Content-Type": "application/json", ...(opts.headers || {}) },
   });
 const postForm = (url, formData, opts = {}) =>
-  doFetch("POST", url, { ...opts, body: formData }); // browser sets multipart boundary
+  doFetch("POST", url, { retryAllowed: false, ...opts, body: formData });
 
 /* ===========================
    Socket.IO (single shared factory; reference api.js:126-172)
@@ -296,8 +301,10 @@ export async function pollJob(jobId, { interval = 800, timeout = 60000, onUpdate
   }
 }
 
-/* Backwards-compatible alias expected by older UI code */
-export const getAggregatedModel = (clientIds = null, newVersion = 1) =>
-  aggregateWeights(clientIds, newVersion);
+/* The reference aliases this to aggregateWeights (api.js:316-317), so
+ * "viewing" the model runs ANOTHER mutating aggregation — a defect, not a
+ * contract. Fixed: fetch the stored global model read-only. */
+export const getAggregatedModel = (version = null) =>
+  safeRequest(get("/face/fl/global_model", { params: { version } }));
 
 export const BACKEND_BASE = BASE_URL || `${location.protocol}//${location.host}`;

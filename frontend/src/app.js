@@ -121,7 +121,10 @@ export class App extends Component {
     const onUpdateMovementLog = (payload) => {
       const log = payload?.log ?? payload;
       if (!log) return;
-      this.state.movementLog = [log, ...this.state.movementLog].slice(0, 100);
+      // live tracking records carry 'person' (platform/tracking.py record);
+      // the /camera/alerts movement_log rows carry 'target' — normalize
+      const entry = { ...log, target: log.target ?? log.person };
+      this.state.movementLog = [entry, ...this.state.movementLog].slice(0, 100);
       this._renderMovement();
     };
     const onUpdateTrackingFeed = (payload) => {

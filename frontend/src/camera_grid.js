@@ -64,7 +64,9 @@ export class CameraGrid extends Component {
         }
       }
       if (list.length === 0) {
-        const r = await fetch("/api/cameras");
+        // fallback endpoint (the reference probes /api/cameras, which exists
+        // on neither backend — CameraGrid.jsx:71; /camera/list does)
+        const r = await fetch("/camera/list");
         if (r.ok) {
           const json = await r.json();
           list = Array.isArray(json) ? json : json.cameras || json;

@@ -152,6 +152,17 @@ class Socket {
     };
   }
 
+  _armWatchdog() {
+    if (this._pingTimer) clearTimeout(this._pingTimer);
+    this._pingTimer = setTimeout(() => {
+      // close() always fires onclose locally, which runs the one teardown +
+      // reconnect path — no duplicate scheduling
+      try {
+        if (this._ws) this._ws.close(4000, "ping timeout");
+      } catch (e) {}
+    }, this._deadline || 45000);
+  }
+
   _teardown(reason) {
     if (this._pingTimer) {
       clearTimeout(this._pingTimer);
@@ -199,12 +210,19 @@ class Socket {
         open = JSON.parse(t.slice(1));
       } catch (e) {}
       this._eioSid = open.sid;
+      // heartbeat watchdog (engine.io v4): if no server ping arrives within
+      // pingInterval + pingTimeout, the path is dead even though TCP never
+      // closed (NAT timeout, frozen server) — drop and reconnect, like the
+      // real socket.io-client
+      this._deadline = (open.pingInterval || 25000) + (open.pingTimeout || 20000);
+      this._armWatchdog();
       // socket.io CONNECT on the default namespace, with auth payload if any
       this._ws.send(this._auth ? `40${JSON.stringify(this._auth)}` : "40");
       return;
     }
     if (eio === "2") {
       // engine.io ping -> pong (server-initiated heartbeat, v4)
+      this._armWatchdog();
       if (this._ws && this._ws.readyState === WebSocket.OPEN) this._ws.send("3");
       return;
     }

@@ -125,9 +125,11 @@ async def serve(
             )
             # also compile the exact serving shapes (active-rows I420 ingest
             # for the real camera geometry) so the first /camera/alerts never
-            # pays a remote compile (5-40 s on this setup, CLAUDE.md gotcha 9)
+            # pays a remote compile (5-40 s on this setup, CLAUDE.md gotcha 9);
+            # dry: no tracking records / alerts / DB writes from warmup
             await asyncio.to_thread(
-                ctx.run_scan, ctx.cfg.face_tolerance, ctx.cfg.frame_skip, 10
+                ctx.run_scan, ctx.cfg.face_tolerance, ctx.cfg.frame_skip, 10,
+                True,
             )
         except Exception:
             logger.exception("engine warmup failed (continuing)")

@@ -86,7 +86,12 @@ def register(router, ctx):
         return cam
 
     # -- scan core (shared by /alerts and the stream loop) -------------------
-    def run_scan(threshold: float, frame_skip: int, max_faces: int) -> dict:
+    def run_scan(
+        threshold: float, frame_skip: int, max_faces: int, dry: bool = False
+    ) -> dict:
+        """dry=True runs detect->match only (no tracking records, alerts, DB
+        writes, or socket events) — used by startup warmup to compile the
+        exact serving shapes without side effects."""
         t0 = time.perf_counter()
         cams = ctx.cameras.all()
         frames: dict[int, np.ndarray | None] = {}
@@ -116,6 +121,12 @@ def register(router, ctx):
             batch, meta = build_batch(frames, ctx.cfg.det_size)
         out = ctx.engine.process_frames(batch, tolerance=threshold, fmt=fmt)
         per_camera = unmap_results(out, meta)
+        if dry:  # shapes compiled; skip every side effect
+            return {
+                "alerts": [], "detections": [], "scanned": len(frames),
+                "processing_time": round(time.perf_counter() - t0, 4),
+                "device_time": round(out["processing_time"], 4),
+            }
 
         detections = []
         new_alerts = []

@@ -216,10 +216,21 @@ def register(router, ctx):
         version = request.query.get("version")
         got = fl.get_global_model(int(version) if version else None)
         if got is None:
-            raise HTTPError(404, "no global model yet — aggregate first")
+            # reference federated.py:714-720: success-with-suggestion, not 404
+            return json_response(
+                {
+                    "status": "success",
+                    "message": "No global model available yet",
+                    "global_model_version": 0,
+                    "model_version": 0,
+                    "suggestion": "Aggregate client weights first using /aggregate endpoint",
+                }
+            )
         name, weights = got
+        v = int(name.split("v")[-1])
         return json_response(
-            {"name": name, "version": int(name.split("v")[-1]),
+            {"status": "success", "name": name, "version": v,
+             "model_version": v, "global_model_version": v,
              "weights": _weights_to_json(weights)}
         )
 

@@ -71,14 +71,25 @@ def active_rows_for(shapes, size: int) -> int | None:
     """Pick the I420 active-row count for a batch of source frame shapes
     ((h, w) pairs). Returns None when the full square is needed (portrait /
     near-square sources) — callers then ship [size, size] as before.
-    Rounded up to a multiple of 16 (I420 plane reshape needs %4; 16 keeps
-    the device pad tile-friendly)."""
+
+    Snapped to a TWO-STEP LADDER (~0.575·size for 16:9, ~0.775·size for 4:3)
+    rather than the exact need: each distinct row count is a distinct jit
+    shape, and a remote compile costs 5-40 s on this setup (CLAUDE.md
+    gotcha 9) — an arbitrary-aspect upload must not stall a serving process
+    per new geometry. Both rungs are multiples of 16 (I420 plane reshape
+    needs %4; 16 keeps the device pad tile-friendly)."""
     need = 0
     for h, w in shapes:
         s = min(size / w, size / h)
         need = max(need, int(round(h * s)))
-    rows = min(size, ((need + 15) // 16) * 16)
-    return None if rows >= size else rows
+    ladder = [
+        -(-int(size * 0.575) // 16) * 16,  # 16:9 and wider (368 @ det 640)
+        -(-int(size * 0.775) // 16) * 16,  # up to 4:3 (496 @ det 640)
+    ]
+    for rows in ladder:
+        if need <= rows < size:
+            return rows
+    return None
 
 
 def build_batch(

@@ -136,9 +136,15 @@ class DeviceGallery:
         if len(names) != m.shape[0]:
             raise ValueError("names/matrix length mismatch")
         with self._lock:
-            fresh = [
-                (n, i) for i, n in enumerate(names) if n not in self._index
-            ]
+            seen: set = set()
+            fresh = []
+            for i, n in enumerate(names):
+                # skip names already enrolled AND duplicates within the batch
+                # (two live rows under one name would orphan one on remove)
+                if n in self._index or n in seen:
+                    continue
+                seen.add(n)
+                fresh.append((n, i))
             if not fresh:
                 return 0
             base = len(self._names)

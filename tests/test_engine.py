@@ -300,3 +300,36 @@ def test_gallery_load_matrix(engine):
     assert int(np.asarray(valid).sum()) == 302
     with pytest.raises(ValueError):
         g.load_matrix(["x"], np.zeros((1, 5), np.float32))
+
+
+def test_active_rows_ladder_bounded():
+    """active_rows_for snaps to a two-rung ladder so arbitrary aspect ratios
+    can't trigger unbounded jit-shape compiles at request time."""
+    from frp_tpu.engine.batching import active_rows_for
+
+    size = 640
+    assert active_rows_for([(1080, 1920)], size) == 368   # 16:9
+    assert active_rows_for([(720, 1280)], size) == 368    # 16:9
+    assert active_rows_for([(480, 640)], size) == 496     # 4:3
+    assert active_rows_for([(800, 600)], size) is None    # portrait
+    assert active_rows_for([(640, 640)], size) is None    # square
+    # mixed batch takes the max need
+    assert active_rows_for([(1080, 1920), (480, 640)], size) == 496
+    # entire output domain is two values + None
+    outs = {active_rows_for([(h, w)], size)
+            for h in range(100, 1200, 37) for w in (640, 1280, 1920)}
+    assert outs <= {368, 496, None}
+
+
+def test_gallery_load_matrix_intra_batch_dup():
+    from frp_tpu.engine.gallery import DeviceGallery
+
+    g = DeviceGallery(embed_dim=4)
+    m = np.arange(12, dtype=np.float32).reshape(3, 4)
+    assert g.load_matrix(["a", "a", "b"], m) == 2
+    assert len(g) == 2
+    assert np.allclose(g.get("a"), m[0])  # first occurrence wins
+    assert g.remove("a") and len(g) == 1
+    mat, valid = g.host_arrays()[0], None
+    # no orphaned valid row remains under the removed name
+    assert g.get("a") is None
