@@ -148,6 +148,11 @@ class StreamResponse:
 
 
 def json_response(data: Any, status: int = 200, headers: dict | None = None) -> Response:
+    # The reference stamps "status": "success" on every 2xx JSON body
+    # (grep JSONResponse across backend/app/routes/*) and its clients key off
+    # it; inject it for any dict payload that doesn't set its own.
+    if status < 300 and isinstance(data, dict) and "status" not in data:
+        data = {"status": "success", **data}
     return Response(
         json.dumps(data, default=_json_default).encode(), status, "application/json", headers
     )

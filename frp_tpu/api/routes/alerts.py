@@ -32,23 +32,46 @@ def register(router, ctx):
         total = len(items)
         items = items[offset : offset + limit]
         return json_response(
-            {"total": total, "offset": offset, "limit": limit, "alerts": items}
+            {
+                "status": "success",  # reference alerts.py:112-124 envelope
+                "count": len(items),
+                "total": total,
+                "offset": offset,
+                "limit": limit,
+                "alerts": items,
+                "filters": {"target": target, "priority": priority, "since": since},
+            }
         )
 
     @router.get("/alerts/latest")
     async def latest(request: Request):
         alert = alerts.get_latest_alert(request.query.get("target"))
-        return json_response({"alert": alert})
+        if alert is None:  # reference alerts.py:144
+            return json_response(
+                {"status": "success", "alert": None, "message": "No alerts found"}
+            )
+        return json_response({"status": "success", "alert": alert})
 
     @router.get("/alerts/watchlist")
     async def get_watchlist(request: Request):
-        return json_response({"watchlist": alerts.get_watchlist()})
+        wl = alerts.get_watchlist()
+        # reference alerts.py:161 envelope
+        return json_response(
+            {"status": "success", "count": len(wl), "watchlist": sorted(wl)}
+        )
 
     @router.post("/alerts/watchlist/{target}")
     async def add_watchlist_path(request: Request):
         """Reference contract: POST /alerts/watchlist/{target}
         (alerts.py:169; the frontend posts this form, api.js:249)."""
-        return json_response(alerts.add_to_watchlist(request.path_params["target"]))
+        target = request.path_params["target"]
+        result = alerts.add_to_watchlist(target)
+        # reference alerts.py:187 envelope
+        return json_response(
+            {"status": "success",
+             "message": result.get("message", "Added to watchlist"),
+             "target": target, **result}
+        )
 
     @router.post("/alerts/watchlist")
     async def add_watchlist(request: Request):
@@ -61,14 +84,22 @@ def register(router, ctx):
 
     @router.delete("/alerts/watchlist/{target}")
     async def remove_watchlist(request: Request):
-        result = alerts.remove_from_watchlist(request.path_params["target"])
+        target = request.path_params["target"]
+        result = alerts.remove_from_watchlist(target)
         if not result["success"]:
             raise HTTPError(404, "target not on watchlist")
-        return json_response(result)
+        # reference alerts.py:209 envelope
+        return json_response(
+            {"status": "success",
+             "message": result.get("message", "Removed from watchlist"),
+             "target": target, **result}
+        )
 
     @router.get("/alerts/geofences")
     async def get_geofences(request: Request):
-        return json_response({"geofences": alerts.get_geofences()})
+        gf = alerts.get_geofences()
+        # reference alerts.py:227 envelope
+        return json_response({"status": "success", "count": len(gf), "geofences": gf})
 
     @router.post("/alerts/geofences")
     async def add_geofence(request: Request):

@@ -292,12 +292,18 @@ def register(router, ctx):
 
     @router.get("/camera/analyze/{person}")
     async def analyze(request: Request):
+        # reference camera.py:436 envelope: {status, person, analysis}
         person = request.path_params["person"]
-        return json_response(ctx.tracking.detect_suspicious_patterns(person))
+        return json_response(
+            {"person": person,
+             "analysis": ctx.tracking.detect_suspicious_patterns(person)}
+        )
 
     @router.get("/camera/list")
     async def camera_list(request: Request):
-        return json_response({"cameras": [c.info() for c in ctx.cameras.all()]})
+        # reference camera.py:468 envelope: {status, count, cameras}
+        cams = [c.info() for c in ctx.cameras.all()]
+        return json_response({"count": len(cams), "cameras": cams})
 
     @router.get("/camera/{cam_id}/info")
     async def camera_info(request: Request):

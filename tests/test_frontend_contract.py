@@ -226,3 +226,28 @@ def test_snapshot_headers(app):
     status, _, resp = call(router, "GET", "/api/camera/99/snapshot")
     assert status == 404
     assert resp.headers.get("X-Placeholder") == "1"
+
+
+def test_blanket_status_success_envelope(app):
+    """The reference stamps status:'success' on every 2xx JSON body (grep
+    JSONResponse in its routes). Spot-check across subsystems."""
+    router, ctx = app
+    _upload(router)
+    for method, path in [
+        ("GET", "/camera/list"), ("GET", "/camera/stats"),
+        ("GET", "/camera/movement/alice"), ("GET", "/camera/analyze/alice"),
+        ("GET", "/alerts/"), ("GET", "/alerts/latest"),
+        ("GET", "/alerts/watchlist"), ("GET", "/alerts/geofences"),
+        ("GET", "/face/stats"), ("GET", "/face/search"),
+        ("GET", "/deepfake/history"), ("GET", "/deepfake/stats"),
+        ("GET", "/face/fl/stats"), ("GET", "/face/fl/global_model"),
+    ]:
+        status, data, _ = call(router, method, path)
+        assert status == 200, path
+        assert isinstance(data, dict) and "status" in data, path
+    # count/cameras shape (reference camera.py:468)
+    _, data, _ = call(router, "GET", "/camera/list")
+    assert data["count"] == len(data["cameras"])
+    # analysis shape (reference camera.py:436)
+    _, data, _ = call(router, "GET", "/camera/analyze/alice")
+    assert data["person"] == "alice" and "analysis" in data
