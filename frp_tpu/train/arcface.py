@@ -106,6 +106,11 @@ def make_train_step(
     classifier over 'model'; everything else replicated."""
 
     def loss_fn(params, images, labels):
+        # uint8 batches normalize ON DEVICE: the host->device link is the
+        # training bottleneck exactly as in serving (CLAUDE.md gotcha 8b) —
+        # shipping uint8 instead of f32 cuts the per-step upload 4x
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.dtype(compute_dtype)) / 127.5 - 1.0
         emb, bn_stats = mobilefacenet_forward(
             params["backbone"], images.astype(jnp.dtype(compute_dtype)), train=True
         )
@@ -207,6 +212,7 @@ class ArcFaceTrainer:
                 "step": jax.device_put(state["step"], repl),
             }
         self.history: list[dict] = []
+        self._pending: list = []  # device metrics awaiting flush_metrics()
 
     def _place_batch(self, images, labels):
         if self.mesh is None:
@@ -214,17 +220,39 @@ class ArcFaceTrainer:
         data = NamedSharding(self.mesh, P(DATA_AXIS))
         return jax.device_put(images, data), jax.device_put(labels, data)
 
-    def train_step(self, images: np.ndarray, labels: np.ndarray) -> dict:
-        """images [B, 112, 112, 3] float (-1..1 normalized), labels [B] int."""
-        images, labels = self._place_batch(
-            np.asarray(images, np.float32), np.asarray(labels, np.int32)
-        )
+    def train_step(
+        self, images: np.ndarray, labels: np.ndarray, sync: bool = True
+    ) -> dict | None:
+        """images [B, 112, 112, 3]: float (-1..1 normalized) or uint8 (0..255,
+        normalized on device — 4x less host->device traffic); labels [B] int.
+
+        sync=False dispatches without fetching metrics (each fetch costs a
+        ~29 ms relay sync); call flush_metrics() to drain them in ONE fetch.
+        """
+        arr = np.asarray(images)
+        if arr.dtype != np.uint8:
+            arr = np.asarray(arr, np.float32)
+        images, labels = self._place_batch(arr, np.asarray(labels, np.int32))
         self.state, metrics = self._step(self.state, images, labels)
+        if not sync:
+            self._pending.append(metrics)
+            return None
+        self.flush_metrics()  # keep history ordered if sync/async were mixed
         metrics = jax.device_get(metrics)
         entry = {k: float(v) for k, v in metrics.items()}
         entry["step"] = int(jax.device_get(self.state["step"]))
         self.history.append(entry)
         return entry
+
+    def flush_metrics(self) -> list[dict]:
+        """Fetch all sync=False step metrics with a single device_get."""
+        if not self._pending:
+            return []
+        got = jax.device_get(self._pending)
+        self._pending = []
+        entries = [{k: float(v) for k, v in m.items()} for m in got]
+        self.history.extend(entries)
+        return entries
 
     def embedder_params(self):
         return jax.device_get(self.state["params"]["backbone"])

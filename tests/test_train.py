@@ -142,3 +142,32 @@ def test_spoof_trainer_overfits_and_feeds_engine():
     )
     pred = np.argmax(np.asarray(logits), -1)
     assert (pred == labels).mean() >= 0.75
+
+
+def test_train_step_uint8_and_deferred_metrics():
+    """uint8 batches (device-side normalization) must train the same as the
+    pre-normalized f32 path, and sync=False defers metric fetches until
+    flush_metrics()."""
+    import numpy as np
+
+    from frp_tpu.train.arcface import ArcFaceTrainer
+
+    rng = np.random.default_rng(0)
+    images_u8 = rng.integers(0, 255, (8, 112, 112, 3)).astype(np.uint8)
+    images_f32 = images_u8.astype(np.float32) / 127.5 - 1.0
+    labels = rng.integers(0, 16, (8,)).astype(np.int32)
+
+    a = ArcFaceTrainer(num_classes=16, seed=3)
+    b = ArcFaceTrainer(num_classes=16, seed=3)
+    ea = a.train_step(images_f32, labels)
+    assert b.train_step(images_u8, labels, sync=False) is None
+    assert not b.history  # nothing fetched yet
+    ebs = b.flush_metrics()
+    assert len(ebs) == 1 and b.history
+    # same math; normalization happens in bf16 on device vs f32 on host,
+    # so allow sub-percent relative drift
+    assert abs(ea["loss"] - ebs[0]["loss"]) / ea["loss"] < 0.01
+    # deferred steps keep training (state advances)
+    for _ in range(2):
+        b.train_step(images_u8, labels, sync=False)
+    assert len(b.flush_metrics()) == 2 and len(b.history) == 3
