@@ -459,3 +459,54 @@ def test_engineio_ping_timeout_disconnects(server_port, monkeypatch):
         raise AssertionError("server kept a silent client past the timeout")
 
     asyncio.run(go())
+
+
+def test_malformed_input_does_not_kill_the_server(server_port):
+    """Garbage-tolerant edge: several classes of hostile/broken input, each
+    on its own connection; the server must answer every class gracefully
+    (error response or clean close — never a hang) and KEEP SERVING."""
+    port, ctx = server_port
+    rng = __import__("random").Random(0)
+
+    async def send_raw(data: bytes, read_limit=4096):
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        writer.write(data)
+        try:
+            await writer.drain()
+            got = await asyncio.wait_for(reader.read(read_limit), 5)
+        except (asyncio.TimeoutError, ConnectionError):
+            got = b""
+        finally:
+            writer.close()
+        return got
+
+    async def go():
+        cases = [
+            bytes(rng.randrange(256) for _ in range(512)),        # pure noise
+            b"\x00\x01\x02\r\n\r\n",                               # binary junk
+            b"GET\r\n\r\n",                                        # broken request line
+            b"FROB / HTTP/1.1\r\nHost: x\r\n\r\n",                # unknown method
+            b"GET / HTTP/9.9\r\nHost: x\r\n\r\n",                 # weird version
+            b"GET / HTTP/1.1\r\n" + b"X-A: " + b"y" * 300000 + b"\r\n\r\n",  # huge header
+            b"GET / HTTP/1.1\r\nHost: x\r\nContent-Length: banana\r\n\r\n",  # bad length
+            # multipart that declares a boundary but never sends one
+            b"POST /face/upload HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Type: multipart/form-data; boundary=b\r\n"
+            b"Content-Length: 11\r\n\r\nhello world",
+            # upgrade handshake then raw garbage instead of WS frames
+            b"GET /socket.io/?EIO=4&transport=websocket HTTP/1.1\r\nHost: x\r\n"
+            b"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            b"Sec-WebSocket-Key: AAAAAAAAAAAAAAAAAAAAAA==\r\n"
+            b"Sec-WebSocket-Version: 13\r\n\r\n"
+            + bytes(rng.randrange(256) for _ in range(256)),
+        ]
+        for i, data in enumerate(cases):
+            await send_raw(data)  # must not hang or kill the loop
+            # server still alive after every case
+            status, _, body = await _http(port, "GET", "/")
+            assert status == 200, f"server unhealthy after case {i}"
+        # and the websocket path still works end-to-end afterward
+        status, _, _ = await _http(port, "GET", "/camera/status")
+        assert status == 200
+
+    asyncio.run(go())
