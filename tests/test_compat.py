@@ -80,3 +80,36 @@ def test_gallery_match_sharded_over_mesh(rng):
         np.asarray(ref["best_distance"]), np.asarray(out["best_distance"]), rtol=1e-5
     )
     np.testing.assert_array_equal(np.asarray(out["best_idx"]), [3, 77, 200, 511])
+
+
+def test_gallery_match_sharded_chunked_topk(rng):
+    """The chunked exact top-k (engaged at N>=16384) must stay correct when
+    the gallery is row-sharded over the mesh — the reshape to
+    [b, chunks, 1024] re-partitions but GSPMD keeps the math exact."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from frp_tpu.ops import matching
+    from frp_tpu.ops.matching import gallery_match
+    from frp_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    n, d = matching._CHUNK_MIN_N, 32  # engages _exact_topk's chunked path
+    gallery = rng.normal(size=(n, d)).astype(np.float32)
+    valid = np.zeros(n, bool)
+    valid[: n // 2] = True
+    picks = [3, 777, 8000]  # 8000 within the valid half
+    queries = gallery[picks] + 0.001 * rng.normal(size=(3, d)).astype(np.float32)
+
+    ref = gallery_match(jnp.asarray(queries), jnp.asarray(gallery), jnp.asarray(valid))
+    gal_sharded = jax.device_put(gallery, NamedSharding(mesh, P("data", None)))
+    val_sharded = jax.device_put(valid, NamedSharding(mesh, P("data")))
+    out = gallery_match(jnp.asarray(queries), gal_sharded, val_sharded)
+
+    np.testing.assert_array_equal(np.asarray(ref["best_idx"]), np.asarray(out["best_idx"]))
+    np.testing.assert_array_equal(np.asarray(out["best_idx"]), picks)
+    np.testing.assert_allclose(
+        np.asarray(ref["topk_distance"]), np.asarray(out["topk_distance"]), rtol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref["topk_idx"]), np.asarray(out["topk_idx"])
+    )
