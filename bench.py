@@ -42,7 +42,7 @@ WINDOWS = 3        # windows per attempt (best window reported per attempt)
 
 def main():
     from frp_tpu.config import load_config
-    from frp_tpu.engine.batching import letterbox
+    from frp_tpu.engine.batching import active_rows_for, letterbox
     from frp_tpu.engine.pipeline import RecognitionEngine
 
     try:
@@ -73,6 +73,8 @@ def main():
                 render_face(rgb, cx, cy, size, rng)
         cams.append(np.ascontiguousarray(rgb[..., ::-1]))  # BGR like cv2
 
+    rows = active_rows_for([f.shape[:2] for f in cams], 640) or 640  # 368 @ 16:9
+
     def host_prep():
         """Letterbox 8x1080p -> the 640x368 ACTIVE area and pack I420 (the
         device pads the dead letterbox rows back to 640x640 — bit-identical
@@ -81,7 +83,6 @@ def main():
         internally; an outer thread pool measured slower (contention with
         the device dispatch threads)."""
         if cv2 is not None:
-            rows = 368  # active_rows_for 1080p @ det 640 (360 -> x16)
             out = np.empty((8, rows * 3 // 2, 640), np.uint8)
             for i, frame in enumerate(cams):
                 boxed, _, _ = letterbox(frame, 640, rows=rows)

@@ -120,13 +120,13 @@ async def serve(
     ctx.startup()
     if warmup:
         try:
-            await asyncio.to_thread(
-                ctx.engine.warmup, max(1, len(ctx.cameras.ids()))
-            )
-            # also compile the exact serving shapes (active-rows I420 ingest
-            # for the real camera geometry) so the first /camera/alerts never
-            # pays a remote compile (5-40 s on this setup, CLAUDE.md gotcha 9);
-            # dry: no tracking records / alerts / DB writes from warmup
+            # two shape sets get used in production: B=1 RGB (enrollment /
+            # compare uploads) and the multi-camera active-rows I420 scan.
+            # Compile exactly those — a B=n RGB warmup would compile a third
+            # program set nothing dispatches (remote compile is 5-40 s each,
+            # CLAUDE.md gotcha 9). The scan warmup runs dry: no tracking
+            # records, alerts, DB writes, or socket events.
+            await asyncio.to_thread(ctx.engine.warmup, 1)
             await asyncio.to_thread(
                 ctx.run_scan, ctx.cfg.face_tolerance, ctx.cfg.frame_skip, 10,
                 True,

@@ -323,25 +323,23 @@ def register(router, ctx):
         # the client's results table actually renders (FaceUpload.jsx:497-546
         # reads .comparisons, which the reference never supplies)
         first = result["results"][0] if result["results"] else {}
-        gallery = first.get("gallery_size", 0)
-        matches = list(first.get("matches", []))[:top_k]
-        comparisons = [
-            {**m, "match": m["distance"] <= tolerance} for m in matches
+        # entries in `matches` are below tolerance by construction
+        top_matches = [
+            {**m, "match": True} for m in list(first.get("matches", []))[:top_k]
         ]
         best = first.get("best_match")
-        if not comparisons and best is not None:
-            comparisons = [{**best, "match": bool(first.get("match_found"))}]
+        comparisons = top_matches or (
+            [{**best, "match": bool(first.get("match_found"))}] if best else []
+        )
         return json_response(
             {
                 "status": "success",
                 "filename": upload.filename,
                 "threshold": tolerance,
-                "total_faces_checked": gallery,
-                "matches_found": len(matches),
-                "top_matches": [
-                    {**m, "match": True} for m in matches
-                ],
-                "all_comparisons": None if matches else comparisons,
+                "total_faces_checked": first.get("gallery_size", 0),
+                "matches_found": len(top_matches),
+                "top_matches": top_matches,
+                "all_comparisons": None if top_matches else comparisons,
                 "comparisons": comparisons,
                 **result,  # extensions: success/face_count/results
             }

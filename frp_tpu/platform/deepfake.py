@@ -103,20 +103,16 @@ class DeepfakeService:
             active_rows_for,
             build_batch,
             build_batch_i420,
+            cv2,
             unmap_results,
         )
-
-        try:
-            import cv2  # noqa: F401  — i420 packing needs it
-            has_cv2 = True
-        except ImportError:
-            has_cv2 = False
 
         results = []
         size = self.engine.cfg.det_size
         chunk = max(1, self.engine.cfg.frames_per_batch)
         use_i420 = (
-            has_cv2 and getattr(self.engine, "preferred_fmt", "rgb") == "yuv420"
+            cv2 is not None
+            and getattr(self.engine, "preferred_fmt", "rgb") == "yuv420"
         )
         for start in range(0, len(frames), chunk):
             part = frames[start : start + chunk]
