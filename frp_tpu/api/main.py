@@ -184,11 +184,36 @@ def main():
         help="run the background multi-camera scan loop at this period (s)",
     )
     p.add_argument("--no-warmup", action="store_true")
+    p.add_argument(
+        "--mesh",
+        choices=["auto", "off"],
+        default=os.getenv("FRP_MESH", "off"),
+        help="auto: bring up jax.distributed (multi-host env/auto-detect, "
+        "no-op single-host) and shard the scan batch over all devices. "
+        "Requires the camera count to be divisible by the device count.",
+    )
     args = p.parse_args()
+
+    ctx = None
+    if args.mesh == "auto":
+        from frp_tpu.parallel.mesh import distributed_initialize, make_global_mesh
+
+        dist = distributed_initialize()  # SURVEY 2.4 DCN path; no-op solo
+        import jax
+
+        if len(jax.devices()) > 1:
+            mesh = make_global_mesh()
+            logger.info(
+                "serving over a %d-device mesh (distributed: %s)",
+                mesh.devices.size, dist,
+            )
+            ctx = AppContext(mesh=mesh)
+
     asyncio.run(
         serve(
             args.host,
             args.port,
+            ctx=ctx,
             scan_interval=args.scan_interval,
             warmup=not args.no_warmup,
         )

@@ -171,3 +171,37 @@ def test_registry_concurrent_add_update_remove():
     for t in threads:
         t.join()
     assert not errors
+
+
+def test_meshed_serving_scan(tmp_path):
+    """The --mesh auto serving path: AppContext(mesh=...) with the real
+    engine sharding the 8-camera scan batch over the 8-device CPU mesh —
+    the full run_scan loop (batch -> detect -> match -> track) executes and
+    returns the digest. (CLAUDE.md: production equivalent is
+    `python -m frp_tpu.api.main --mesh auto`.)"""
+    from frp_tpu.api.main import build_app
+    from frp_tpu.config import load_config
+    from frp_tpu.parallel.mesh import distributed_initialize, make_mesh
+    from frp_tpu.platform.context import AppContext
+
+    assert distributed_initialize()["num_processes"] == 1  # no-op single host
+    mesh = make_mesh(n_data=8, n_model=1)
+    cfg = load_config(
+        data_dir=str(tmp_path / "data"), log_dir=str(tmp_path / "logs"),
+        det_size=128, max_faces_per_frame=4, pre_nms_topk=64,
+        frames_per_batch=8,
+    )
+    ctx = AppContext(cfg=cfg, camera_configs=[
+        {"id": i, "name": f"Cam {i}", "geo": (18.5 + i * 0.01, 73.8),
+         "source": "synthetic:128x96"}
+        for i in range(8)
+    ], mesh=mesh)
+    try:
+        router, sio, ctx = build_app(ctx)
+        out = ctx.run_scan(0.6, 1, 10)
+        assert out["scanned"] == 8
+        assert isinstance(out["detections"], list)
+        # engine really carries the mesh
+        assert ctx.engine.mesh is mesh
+    finally:
+        ctx.shutdown()
