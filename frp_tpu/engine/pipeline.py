@@ -678,10 +678,32 @@ class RecognitionEngine:
 
     # -- convenience: single image encode (enrollment path) -----------------
     def encode_image(self, image: np.ndarray):
-        """Detect + embed a single RGB image. Returns list of face dicts
-        (embedding, box, landmarks, quality, score) — the engine-side half of
-        the reference's ``encode_face`` (face_service.py:87-219)."""
+        """Detect + embed a single RGB image of ANY geometry. Returns list of
+        face dicts (embedding, box, landmarks, quality, score) with box/
+        landmark coordinates in ORIGINAL image pixels — the engine-side half
+        of the reference's ``encode_face`` (face_service.py:87-219).
+
+        Non-det-square images are letterboxed on the HOST to the one
+        canonical [1, S, S, 3] geometry: otherwise every unique upload
+        resolution traces a fresh program set (5-40 s remote compile per new
+        phone-photo size, CLAUDE.md gotcha 9) and rides an on-device resize
+        the distance calibration was never measured on."""
+        size = self.cfg.det_size
+        h, w = image.shape[:2]
+        scale, off = 1.0, (0.0, 0.0)
+        if (h, w) != (size, size):
+            from frp_tpu.engine.batching import letterbox
+
+            image, scale, off = letterbox(np.ascontiguousarray(image), size)
         out = self.process_frames(image[None])
+        if scale != 1.0 or off != (0.0, 0.0):
+            ox, oy = off
+            off4 = np.array([ox, oy, ox, oy], np.float32)
+            off10 = np.tile(np.array([ox, oy], np.float32), 5)
+            out["boxes"] = np.clip(
+                (out["boxes"] - off4) / scale, 0, [w, h, w, h]
+            )
+            out["landmarks"] = (out["landmarks"] - off10) / scale
         faces = []
         for i in range(out["valid"].shape[1]):
             if not out["valid"][0, i]:

@@ -110,7 +110,9 @@ class FaceService:
         last_err = None
         for attempt in range(retries + 1):
             try:
-                faces = self._encode_canonical(image)
+                # engine letterboxes to its one canonical geometry and
+                # returns original-image coordinates (pipeline.encode_image)
+                faces = self.engine.encode_image(image)
                 break
             except Exception as e:  # engine-level failure: retry once
                 last_err = e
@@ -142,33 +144,6 @@ class FaceService:
             "cached": False,
             "processing_time": dt,
         }
-
-    def _encode_canonical(self, image: np.ndarray) -> list:
-        """Letterbox the upload to the det square on the HOST, run the
-        engine's one canonical geometry, and map boxes/landmarks back to
-        original-image coordinates.
-
-        Without this every unique upload resolution traces a fresh program
-        set (a 5-40 s remote compile per new phone-photo geometry on this
-        setup, CLAUDE.md gotcha 9); with it, enrollment/compare always
-        dispatch the already-warm [1, S, S, 3] programs — and embeddings go
-        through the exact letterbox+align path the calibration was measured
-        on (tools/calibrate_embedder.py)."""
-        size = getattr(self.engine.cfg, "det_size", None)
-        h, w = image.shape[:2]
-        if size is None or (h, w) == (size, size):
-            return self.engine.encode_image(image)
-        from frp_tpu.engine.batching import letterbox
-
-        boxed, s, (ox, oy) = letterbox(image, size)
-        faces = self.engine.encode_image(boxed)
-        off4 = np.array([ox, oy, ox, oy], np.float32)
-        off10 = np.tile(np.array([ox, oy], np.float32), 5)
-        for f in faces:
-            box = (np.asarray(f["box"], np.float32) - off4) / s
-            f["box"] = np.clip(box, 0, [w, h, w, h])
-            f["landmarks"] = (np.asarray(f["landmarks"], np.float32) - off10) / s
-        return faces
 
     def batch_encode(self, images: list) -> list:
         """Batch enrollment (face_service.py:224-246) — device-batched rather

@@ -333,3 +333,41 @@ def test_gallery_load_matrix_intra_batch_dup():
     mat, valid = g.host_arrays()[0], None
     # no orphaned valid row remains under the removed name
     assert g.get("a") is None
+
+
+def test_encode_image_canonical_geometry_and_remap(engine):
+    """encode_image letterboxes any geometry to the one det square and
+    returns ORIGINAL-image coordinates — equal to hand-letterboxing and
+    remapping, and the same face must be found at (almost) the same spot
+    regardless of source geometry."""
+    import cv2
+
+    from frp_tpu.engine.batching import letterbox
+    from frp_tpu.train.synthetic import make_identity, render_face
+
+    rng = np.random.default_rng(21)
+    ident = make_identity(5)
+    img = rng.integers(20, 110, size=(288, 512, 3), dtype=np.uint8)
+    render_face(img, 256, 144, 120.0, rng, identity=ident)
+
+    faces = engine.encode_image(img)
+    if not faces:
+        pytest.skip("detector found no face at this test size")
+    box = np.asarray(faces[0]["box"], np.float32)
+    # box is in ORIGINAL 512x288 coordinates around the rendered center
+    cx, cy = (box[0] + box[2]) / 2, (box[1] + box[3]) / 2
+    assert abs(cx - 256) < 40 and abs(cy - 144) < 40
+    assert 0 <= box[0] and box[2] <= 512 and box[3] <= 288
+
+    # equals hand-letterbox + remap
+    boxed, s, (ox, oy) = letterbox(img, DET)
+    raw = engine.encode_image(boxed)
+    assert raw, "letterboxed image must detect too"
+    manual = (np.asarray(raw[0]["box"], np.float32) - [ox, oy, ox, oy]) / s
+    np.testing.assert_allclose(box, np.clip(manual, 0, [512, 288, 512, 288]),
+                               atol=1.0)
+    # embeddings from both geometries describe the same identity
+    d = np.linalg.norm(
+        np.asarray(faces[0]["embedding"]) - np.asarray(raw[0]["embedding"])
+    )
+    assert d < 0.2, d

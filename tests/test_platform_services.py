@@ -398,51 +398,3 @@ def test_cipher_roundtrip_and_key_reuse(tmp_path):
     c2 = EmbeddingCipher(str(tmp_path))
     np.testing.assert_allclose(c2.decrypt_embedding(token), emb)
     assert c2.decrypt_embedding("garbage") is None
-
-
-def test_encode_canonical_remaps_to_original_coordinates(tmp_path):
-    """Uploads letterbox to the engine's one det-square geometry; returned
-    boxes/landmarks must land back in ORIGINAL image coordinates (the
-    quality gate and duplicate checks use them against the raw image)."""
-    import numpy as np
-
-    from frp_tpu.platform.face_service import FaceService
-
-    size = 128
-
-    class GeomEngine:
-        """Returns a fixed box in letterbox coordinates; records input."""
-        class cfg:
-            det_size = size
-            face_tolerance = 0.6
-
-        gallery = None
-        last_shape = None
-
-        def encode_image(self, image):
-            GeomEngine.last_shape = image.shape
-            return [{
-                "embedding": np.zeros(8, np.float32),
-                # center quarter of the letterbox square
-                "box": np.array([32, 32, 96, 96], np.float32),
-                "landmarks": np.full(10, 64.0, np.float32),
-                "score": 0.9, "quality": 1.0, "fake_prob": 0.0,
-            }]
-
-    svc = FaceService.__new__(FaceService)  # bypass ctor; test the helper only
-    svc.engine = GeomEngine()
-    # 16:9 source, 2x the letterbox scale: s = min(128/512, 128/288) = 0.25,
-    # content 512x... -> nw=128, nh=72, ox=0, oy=28
-    image = np.zeros((288, 512, 3), np.uint8)
-    faces = svc._encode_canonical(image)
-    assert GeomEngine.last_shape == (size, size, 3)  # canonical geometry
-    box = faces[0]["box"]
-    # (32-0)/0.25=128, (32-28)/0.25=16, (96-0)/0.25=384, (96-28)/0.25=272
-    np.testing.assert_allclose(box, [128, 16, 384, 272], atol=0.5)
-    lm = faces[0]["landmarks"]
-    np.testing.assert_allclose(lm[0::2], [(64 - 0) / 0.25] * 5, atol=0.5)
-    np.testing.assert_allclose(lm[1::2], [(64 - 28) / 0.25] * 5, atol=0.5)
-    # det-square inputs pass through untouched
-    sq = np.zeros((size, size, 3), np.uint8)
-    faces_sq = svc._encode_canonical(sq)
-    np.testing.assert_allclose(faces_sq[0]["box"], [32, 32, 96, 96])
