@@ -290,13 +290,33 @@ def build_stages(
         )
         ident = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
         mats = jnp.where(dets["valid"][..., None, None], mats, ident)
-        from frp_tpu.ops.align_pallas import WIN, warp_crops_batched_pallas
+        from frp_tpu.ops.align_pallas import (
+            LANE,
+            WIN,
+            warp_crops_auto,
+            warp_crops_batched_pallas,
+        )
 
-        if jax.default_backend() == "tpu" and min(h, w) >= WIN:
+        if (
+            jax.default_backend() == "tpu"
+            and min(h, w) >= WIN
+            and w % LANE == 0
+            and h % 8 == 0
+        ):
             # two-pass shear warp in Pallas: 1.9 ms/batch vs 46.7 ms for the
-            # XLA random-HBM-gather formulation (benchmarks/micro_pallas.py;
-            # sub-pixel-equal, see ops/align_pallas.py docstring)
-            crops = warp_crops_batched_pallas(frames_f, mats, out_size=112)
+            # XLA random-HBM-gather formulation (benchmarks/micro_pallas.py).
+            # B=1 (enroll/compare uploads — where closeup faces exceeding the
+            # kernel's window coverage actually occur) adds a per-batch
+            # lax.cond fallback to the exact XLA warp. The multi-stream scan
+            # keeps the pure kernel: embedding the XLA-warp branch in the
+            # scan program measurably slows every dispatch (program size,
+            # CLAUDE.md gotcha 6), and surveillance faces sit far below the
+            # 252 px det-space coverage bound (oversized ones edge-clamp
+            # gracefully) — see ops/align_pallas.py
+            if b == 1:
+                crops = warp_crops_auto(frames_f, mats, out_size=112)
+            else:
+                crops = warp_crops_batched_pallas(frames_f, mats, out_size=112)
         else:
             crops = warp_crops_batched(frames_f, mats, out_size=112)
         out = {"crops": crops}
@@ -518,15 +538,24 @@ class RecognitionEngine:
         import json
         import os
 
-        if not self.weights_loaded.get("embedder"):
+        emb_path = self.weights_loaded.get("embedder")
+        if not emb_path:
             return 1.0
-        path = os.path.join(
-            os.path.dirname(self.weights_loaded["embedder"]), "calibration.json"
-        )
+        if emb_path.endswith(".onnx"):
+            # the shipped constant was measured for the in-repo trained
+            # embedder; applying it to user-provided pretrained weights
+            # would silently distort every distance — re-measure instead
+            logger.warning(
+                "embedder loaded from %s: skipping shipped distance "
+                "calibration; run tools/calibrate_embedder.py to measure a "
+                "scale for these weights", emb_path,
+            )
+            return 1.0
+        path = os.path.join(os.path.dirname(emb_path), "calibration.json")
         try:
             with open(path) as f:
                 return float(json.load(f)["distance_scale"])
-        except (OSError, KeyError, ValueError):
+        except (OSError, KeyError, ValueError, TypeError):
             return 1.0
 
     def _load_weights(self, host_params: dict, arch: str) -> dict:
@@ -544,11 +573,14 @@ class RecognitionEngine:
         # resolve relative to the repo root as well as cwd
         roots = [wd, os.path.join(os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__)))), wd)]
+        # ONNX exports are user-provided pretrained weights; they must WIN
+        # over the shipped synthetic-bootstrap .npz files, or dropping e.g.
+        # an InsightFace export into weights/ silently does nothing
         candidates = {
-            "detector": ["retinaface.npz", "retinaface_synthetic.npz",
-                         "retinaface.onnx"],
-            "embedder": [f"{arch}.npz", "embedder.npz", "embedder.onnx"],
-            "spoof": ["spoof.npz", "mobilenetv3.npz", "spoof.onnx"],
+            "detector": ["retinaface.onnx", "retinaface.npz",
+                         "retinaface_synthetic.npz"],
+            "embedder": ["embedder.onnx", f"{arch}.npz", "embedder.npz"],
+            "spoof": ["spoof.onnx", "spoof.npz", "mobilenetv3.npz"],
         }
 
         def _load_any(path, ref_tree):

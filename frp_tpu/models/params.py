@@ -249,6 +249,15 @@ def _parse_tensorproto(buf: bytes) -> tuple[str, np.ndarray]:
         elif field == 4:
             typed.append(np.frombuffer(val, np.float32) if wire == 2
                          else np.frombuffer(bytes(val), np.float32))
+        elif field == 5:  # int32_data (packed varints or single)
+            if wire == 2:
+                vals, i = [], 0
+                while i < len(val):
+                    v, i = _pb_varint(val, i)
+                    vals.append(v)
+                typed.append(np.asarray(vals, np.int32))
+            else:
+                typed.append(np.asarray([val], np.int32))
         elif field == 7:
             if wire == 2:  # packed varints
                 vals, i = [], 0

@@ -67,19 +67,36 @@ def _warp_kernel(out_size: int, frame_ref, minv_ref, out_ref, tmp_s):
     bb, ay, ty = minv_ref[0, 0, 1, 0], minv_ref[0, 0, 1, 1], minv_ref[0, 0, 1, 2]
     # similarity: a == ay (s cos), nb == -bb (s sin)
 
-    # --- window origin: bbox of the mapped output square, with margin ---
+    # --- window origin: CENTER the window on the mapped output square's
+    # bbox, then snap to the nearest tile-aligned start (Mosaic: sublane
+    # start %8, lane start %128). Centering + nearest-rounding guarantees
+    # full coverage for source extents up to WIN-LANE-4 px horizontally and
+    # WIN-8-4 vertically (floor-quantizing the LEFT edge, as round 1 did,
+    # lost up to 127 px of reach on the right — corrupting crops of large /
+    # right-edge faces; callers route bigger faces to the XLA warp, see
+    # warp_crops_auto).
     def _min4(p, q, r_, t_):
         return jnp.minimum(jnp.minimum(p, q), jnp.minimum(r_, t_))
 
-    min_x = _min4(tx, a * s + tx, nb * s + tx, a * s + nb * s + tx)
-    min_y = _min4(ty, bb * s + ty, ay * s + ty, bb * s + ay * s + ty)
-    ox = jnp.clip(jnp.floor(min_x) - 2.0, 0.0, float(w - WIN)).astype(jnp.int32)
-    oy = jnp.clip(jnp.floor(min_y) - 2.0, 0.0, float(h - WIN)).astype(jnp.int32)
-    # dynamic ref slices must be tile-aligned (Mosaic: sublane start %8,
-    # lane start %128); quantize the origin down — the 2 px margin grows to
-    # at most (7, 127) px of extra border inside the window
-    oy = pl.multiple_of((oy // 8) * 8, 8)
-    ox = pl.multiple_of((ox // LANE) * LANE, LANE)
+    def _max4(p, q, r_, t_):
+        return jnp.maximum(jnp.maximum(p, q), jnp.maximum(r_, t_))
+
+    xs = (tx, a * s + tx, nb * s + tx, a * s + nb * s + tx)
+    ys = (ty, bb * s + ty, ay * s + ty, bb * s + ay * s + ty)
+    cx = (_min4(*xs) + _max4(*xs)) * 0.5
+    cy = (_min4(*ys) + _max4(*ys)) * 0.5
+    ox_f = jnp.clip(cx - float(WIN) / 2.0, 0.0, float(w - WIN))
+    oy_f = jnp.clip(cy - float(WIN) / 2.0, 0.0, float(h - WIN))
+    # nearest aligned start, re-clipped into range (w-WIN/h-WIN are tile
+    # multiples by the caller's geometry guard)
+    ox = jnp.clip(
+        jnp.floor(ox_f / LANE + 0.5) * LANE, 0.0, float(w - WIN)
+    ).astype(jnp.int32)
+    oy = jnp.clip(jnp.floor(oy_f / 8.0 + 0.5) * 8.0, 0.0, float(h - WIN)).astype(
+        jnp.int32
+    )
+    oy = pl.multiple_of(oy, 8)
+    ox = pl.multiple_of(ox, LANE)
 
     # --- exact index-space coordinates (mirrors ops.align's convention:
     # output pixel centers x+0.5, array-index sampling offset -0.5) ---
@@ -100,7 +117,11 @@ def _warp_kernel(out_size: int, frame_ref, minv_ref, out_ref, tmp_s):
     rows_w = jax.lax.broadcasted_iota(jnp.int32, (WIN, LANE), 0).astype(jnp.float32)
     cols_w = jax.lax.broadcasted_iota(jnp.int32, (WIN, LANE), 1).astype(jnp.float32)
     u = alpha * (cols_w + 0.5) + beta * rows_w + gamma
-    u = jnp.clip(u, 0.0, float(WIN - 2))
+    # clip to WIN-1 (not WIN-2): when the source quad runs past the frame
+    # edge the window's last column IS the frame's last column, and the XLA
+    # warp clamps samples there — WIN-2 landed one pixel short (visible on
+    # noise at the exact boundary)
+    u = jnp.clip(u, 0.0, float(WIN - 1))
     u0 = jnp.floor(u)
     fu = u - u0
     u0i = u0.astype(jnp.int32)
@@ -110,7 +131,7 @@ def _warp_kernel(out_size: int, frame_ref, minv_ref, out_ref, tmp_s):
     yy = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1).astype(jnp.float32)
     xx = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0).astype(jnp.float32)
     vt = ay * (yy + 0.5) + bb * (xx + 0.5) + ty2
-    vt = jnp.clip(vt, 0.0, float(WIN - 2))
+    vt = jnp.clip(vt, 0.0, float(WIN - 1))  # see u's boundary note
     v0 = jnp.floor(vt)
     fv = vt - v0
     v0i = v0.astype(jnp.int32)
@@ -144,6 +165,8 @@ def warp_crops_batched_pallas(
     b, h, w, c = frames.shape
     m = matrices.shape[1]
     assert h >= WIN and w >= WIN, (h, w, WIN)
+    # centered-window coverage math requires tile-multiple slice ranges
+    assert w % LANE == 0 and h % 8 == 0, (h, w)
     assert out_size <= LANE, (out_size, LANE)
     inv = invert_similarity(matrices)  # [B, M, 2, 3]
     planar = jnp.moveaxis(frames.astype(jnp.float32), -1, 1)  # [B, C, H, W]
@@ -166,3 +189,37 @@ def warp_crops_batched_pallas(
         interpret=jax.default_backend() == "cpu",
     )(planar, inv)
     return jnp.moveaxis(out, 1, -1)  # [B, M, S, S, C]
+
+
+def pallas_coverage_ok(matrices: jnp.ndarray, out_size: int = 112) -> jnp.ndarray:
+    """Scalar bool: every face's source extent fits the kernel's provable
+    window coverage (centered start, nearest tile rounding): extent_x <=
+    WIN-LANE-4, extent_y <= WIN-8-4. Oversized faces (a closeup selfie can
+    fill the whole det square) must take the XLA warp or their crops
+    edge-clamp."""
+    inv = invert_similarity(matrices)  # out px -> src px
+    s = float(out_size)
+    ext_x = s * (jnp.abs(inv[..., 0, 0]) + jnp.abs(inv[..., 0, 1]))
+    ext_y = s * (jnp.abs(inv[..., 1, 0]) + jnp.abs(inv[..., 1, 1]))
+    return jnp.logical_and(
+        jnp.all(ext_x <= float(WIN - LANE - 4)),
+        jnp.all(ext_y <= float(WIN - 8 - 4)),
+    )
+
+
+def warp_crops_auto(
+    frames: jnp.ndarray, matrices: jnp.ndarray, out_size: int = 112
+) -> jnp.ndarray:
+    """Pallas warp when every face provably fits the kernel window, exact
+    XLA warp otherwise — ONE lax.cond per batch, so the 46.7 ms gather
+    formulation only executes for batches that actually contain an
+    oversized face (rare in surveillance scans; routine for enroll
+    selfies, which the engine letterboxes to the det square)."""
+    from frp_tpu.ops.align import warp_crops_batched
+
+    return jax.lax.cond(
+        pallas_coverage_ok(matrices, out_size),
+        lambda fm: warp_crops_batched_pallas(fm[0], fm[1], out_size=out_size),
+        lambda fm: warp_crops_batched(fm[0], fm[1], out_size=out_size),
+        (frames, matrices),
+    )

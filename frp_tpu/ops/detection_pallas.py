@@ -172,6 +172,22 @@ def fused_detection_head(
     b, a = scores.shape
     k = min(pre_topk, a)
     assert max_out <= k, (max_out, k)
+    if use_pallas is False:
+        # XLA reference path (same semantics, tested equal) — for kernel
+        # debugging and apples-to-apples microbenchmarks; mirrors
+        # nms_padded_batched's working use_pallas flag
+        from frp_tpu.ops.decode import decode_boxes, decode_landmarks
+        from frp_tpu.ops.nms import nms_padded_batched
+
+        return nms_padded_batched(
+            decode_boxes(loc, priors, image_size),
+            scores,
+            decode_landmarks(ldm, priors, image_size),
+            pre_topk=pre_topk,
+            max_out=max_out,
+            conf_thresh=conf_thresh,
+            iou_thresh=iou_thresh,
+        )
 
     top_scores, top_idx = jax.lax.top_k(scores, k)  # [B, K] descending
     gather = lambda x: jnp.take_along_axis(x, top_idx[..., None], axis=1)

@@ -180,6 +180,17 @@ def pair_distances(embeddings: np.ndarray, labels: np.ndarray):
     return dist[iu][same_mask], dist[iu][~same_mask]
 
 
+def eer_sweep(same: np.ndarray, diff: np.ndarray, points: int = 801):
+    """(tau, eer): threshold sweep over [0, 2] where FNR==FPR — the one
+    implementation shared by threshold_metrics and the calibration tool
+    (tools/calibrate_embedder.py derives distance_scale from tau)."""
+    ts = np.linspace(0, 2, points)
+    fnr = np.array([np.mean(same > t) for t in ts])
+    fpr = np.array([np.mean(diff <= t) for t in ts])
+    i = int(np.argmin(np.abs(fnr - fpr)))
+    return float(ts[i]), float((fnr[i] + fpr[i]) / 2)
+
+
 def threshold_metrics(same: np.ndarray, diff: np.ndarray, thresholds=(0.4, 0.6)):
     """TPR/FPR at the reference thresholds + AUC + EER for the pair set."""
     out = {"n_same": int(len(same)), "n_diff": int(len(diff))}
@@ -194,12 +205,9 @@ def threshold_metrics(same: np.ndarray, diff: np.ndarray, thresholds=(0.4, 0.6))
     r_same = ranks[: len(same)].sum()
     auc = 1.0 - (r_same - len(same) * (len(same) + 1) / 2) / (len(same) * len(diff))
     out["auc"] = float(auc)
-    # EER: sweep
-    ts = np.linspace(0, 2, 401)
-    fnr = np.array([np.mean(same > t) for t in ts])
-    fpr = np.array([np.mean(diff <= t) for t in ts])
-    i = int(np.argmin(np.abs(fnr - fpr)))
-    out["eer"] = float((fnr[i] + fpr[i]) / 2)
+    # EER: shared sweep (same resolution as the calibration tool)
+    _tau, eer = eer_sweep(same, diff)
+    out["eer"] = eer
     out["same_median"] = float(np.median(same))
     out["diff_median"] = float(np.median(diff))
     return out

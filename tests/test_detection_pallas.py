@@ -135,3 +135,77 @@ def test_pallas_warp_rotated_subpixel():
     err = np.abs(ref - got)
     assert float(err.mean()) < 0.1 and float(err.max()) < 5.0, (
         err.max(), err.mean())
+
+
+def _similarity_forward(scale, cx, cy, out_size=112):
+    """Forward matrix mapping source px -> out px: out = s*(src-c) + S/2."""
+    s = out_size / scale  # map a `scale`-px source extent onto the crop
+    return np.array(
+        [[s, 0.0, out_size / 2 - s * cx], [0.0, s, out_size / 2 - s * cy]],
+        np.float32,
+    )
+
+
+def test_align_pallas_right_edge_face_exact():
+    """Round-1's floor-quantized window start lost up to 127 px of reach:
+    a face near the RIGHT edge (or any det grid where w-WIN < 128) produced
+    edge-smeared crops. The centered nearest-aligned start must be
+    sub-pixel-equal to the XLA warp for all extents within coverage."""
+    import jax.numpy as jnp
+
+    from frp_tpu.ops.align import warp_crops_batched
+    from frp_tpu.ops.align_pallas import warp_crops_batched_pallas
+
+    rng = np.random.default_rng(0)
+    h = w = 640
+    frame = rng.integers(0, 255, (1, h, w, 3)).astype(np.float32)
+    cases = [
+        (240.0, 500.0, 320.0),  # large face near the right edge
+        (200.0, 108.0, 540.0),  # bottom-left
+        (252.0, 320.0, 320.0),  # max covered extent, center
+        (80.0, 596.0, 60.0),    # small face flush against the right edge
+    ]
+    mats = np.stack([
+        _similarity_forward(scale, cx, cy) for scale, cx, cy in cases
+    ])[None]
+    got = np.asarray(warp_crops_batched_pallas(jnp.asarray(frame), jnp.asarray(mats)))
+    want = np.asarray(warp_crops_batched(jnp.asarray(frame), jnp.asarray(mats)))
+    err = np.abs(got - want)
+    assert err.max() < 1.0, err.max()  # sub-pixel everywhere, incl. edges
+
+    # a quad partially OUTSIDE the frame: the XLA warp linearly extrapolates
+    # beyond the edge (unclamped bilinear weights, ops/align.py:114-123)
+    # while the kernel clamps to the border — undefined region, so only the
+    # in-frame portion must match
+    m_out = _similarity_forward(80.0, 620.0, 20.0)[None, None]  # cols beyond 640
+    got = np.asarray(warp_crops_batched_pallas(jnp.asarray(frame), jnp.asarray(m_out)))
+    want = np.asarray(warp_crops_batched(jnp.asarray(frame), jnp.asarray(m_out)))
+    # out col c samples src_x = (80/112)*(c+0.5-56) + 620; strictly-interior
+    # sampling (both bilinear taps in-frame, no boundary weight) needs
+    # src_x < 638.5 and src_y > 1.5 -> c <= 77, r >= 30
+    in_frame = np.abs(got - want)[0, 0, 30:, :78]
+    assert in_frame.max() < 1.0, in_frame.max()
+
+
+def test_align_auto_falls_back_for_oversized_faces():
+    """warp_crops_auto: a face whose source extent exceeds the kernel's
+    provable coverage (e.g. a closeup selfie filling the det square) must
+    take the exact XLA warp via the per-batch lax.cond."""
+    import jax.numpy as jnp
+
+    from frp_tpu.ops.align import warp_crops_batched
+    from frp_tpu.ops.align_pallas import pallas_coverage_ok, warp_crops_auto
+
+    rng = np.random.default_rng(1)
+    h = w = 640
+    frame = rng.integers(0, 255, (1, h, w, 3)).astype(np.float32)
+    big = _similarity_forward(560.0, 320.0, 320.0)  # face fills the square
+    small = _similarity_forward(120.0, 200.0, 200.0)
+    mats = np.stack([big, small])[None]
+    assert not bool(pallas_coverage_ok(jnp.asarray(mats)))
+    got = np.asarray(warp_crops_auto(jnp.asarray(frame), jnp.asarray(mats)))
+    want = np.asarray(warp_crops_batched(jnp.asarray(frame), jnp.asarray(mats)))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+    # and an all-small batch keeps the fast path (coverage ok)
+    mats_small = np.stack([small, small])[None]
+    assert bool(pallas_coverage_ok(jnp.asarray(mats_small)))

@@ -155,3 +155,60 @@ def test_engine_loads_onnx_candidate(tmp_path):
     shim = types.SimpleNamespace(cfg=types.SimpleNamespace(weights_dir=str(tmp_path)))
     loaded = RecognitionEngine._load_weights(shim, {"spoof": params}, "mobilefacenet")
     assert loaded["spoof"] is not None and loaded["spoof"].endswith("spoof.onnx")
+
+
+def test_int32_initializer_parsed_not_fatal(tmp_path):
+    """An int32-typed initializer (TensorProto field 5, packed varints) must
+    parse — previously one such tensor made load_onnx_tensors reject the
+    whole file, discarding every float weight."""
+    from frp_tpu.models.params import load_onnx_tensors
+
+    w = np.arange(6, dtype=np.float32).reshape(2, 3)
+    # int32 tensor: dims + data_type INT32(6) + name + packed int32_data
+    ints = [3, 1, 4]
+    body = b""
+    body += _field(1, 0, 3)          # dims [3]
+    body += _field(2, 0, 6)          # data_type INT32
+    body += _field(8, 2, b"shape_info")
+    packed = b"".join(_varint(v) for v in ints)
+    body += _field(5, 2, packed)     # int32_data
+    graph = _field(5, 2, _tensorproto("w", w)) + _field(5, 2, body)
+    model = _field(7, 2, graph)
+    path = tmp_path / "m.onnx"
+    path.write_bytes(model)
+    tensors = load_onnx_tensors(str(path))
+    assert tensors is not None
+    np.testing.assert_array_equal(tensors["w"], w)
+    np.testing.assert_array_equal(tensors["shape_info"], ints)
+
+
+def test_user_onnx_outranks_shipped_npz(tmp_path):
+    """A user-provided ONNX export must WIN over a shipped npz in the same
+    weights dir (engine candidate order) — the importer's whole purpose."""
+    import types
+
+    from frp_tpu.engine.pipeline import RecognitionEngine
+    from frp_tpu.models.mobilenetv3 import init_mobilenetv3_small
+    from frp_tpu.models.params import _collect_units, save_params
+
+    params = init_mobilenetv3_small(0)
+    save_params(str(tmp_path / "spoof.npz"), params)
+    tensors = {}
+    for idx, (kind, node, path) in enumerate(_collect_units(params)):
+        base = f"m{idx:03d}"
+        if kind == "conv":
+            tensors[f"{base}.weight"] = np.asarray(node["w"]).transpose(3, 2, 0, 1)
+        elif kind == "bn":
+            tensors[f"{base}.weight"] = np.asarray(node["gamma"])
+            tensors[f"{base}.bias"] = np.asarray(node["beta"])
+            tensors[f"{base}.running_mean"] = np.asarray(node["mean"])
+            tensors[f"{base}.running_var"] = np.asarray(node["var"])
+        elif kind == "dense":
+            tensors[f"{base}.weight"] = np.asarray(node["w"]).T
+            tensors[f"{base}.bias"] = np.asarray(node["b"])
+        elif kind == "prelu":
+            tensors[f"{base}.weight"] = np.asarray(node["alpha"])
+    (tmp_path / "spoof.onnx").write_bytes(_onnx_bytes(tensors))
+    shim = types.SimpleNamespace(cfg=types.SimpleNamespace(weights_dir=str(tmp_path)))
+    loaded = RecognitionEngine._load_weights(shim, {"spoof": params}, "mobilefacenet")
+    assert loaded["spoof"] and loaded["spoof"].endswith("spoof.onnx")

@@ -44,6 +44,7 @@ def main():
     from frp_tpu.train.pairs import (
         build_pair_crops,
         build_scene_set,
+        eer_sweep,
         embed_crops,
         embed_scenes,
         pair_distances,
@@ -59,11 +60,9 @@ def main():
     emb_e2e, lab_e2e = embed_scenes(eng, scenes, slabels, apply_calibration=False)
     same, diff = pair_distances(emb_e2e, lab_e2e)
 
-    # EER threshold on RAW end-to-end distances -> maps to 0.5 (band center)
-    ts = np.linspace(0, 2, 801)
-    fnr = np.array([np.mean(same > t) for t in ts])
-    fpr = np.array([np.mean(diff <= t) for t in ts])
-    tau = float(ts[int(np.argmin(np.abs(fnr - fpr)))])
+    # EER threshold on RAW end-to-end distances -> maps to 0.5 (band center);
+    # same sweep implementation as the reported metrics (pairs.eer_sweep)
+    tau, _eer = eer_sweep(same, diff)
     scale = 0.5 / tau
 
     crops, clabels = build_pair_crops(args.identities, 4, CALIB_SEED)
