@@ -107,19 +107,26 @@ def _bilinear_sample(frame: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray) -> jn
     alignment transforms (padded detection slots, collapsed landmarks) produce
     coordinates up to ~1e12, and feeding those through floor/convert/gather
     empirically drops the v5e gather into a ~50 ms slow path (47 ms vs 0.02 ms
-    per batch for identical shapes). Clamping restores the fast path and is
-    semantically free — out-of-frame samples already clamp to the border.
+    per batch for identical shapes). Clamping restores the fast path, and
+    out-of-frame samples clamp to the border pixel (same semantics as the
+    Pallas warp).
     """
     h, w = frame.shape[0], frame.shape[1]
-    xs = jnp.clip(xs, -2.0, w + 2.0)
-    ys = jnp.clip(ys, -2.0, h + 2.0)
-    x0f = jnp.floor(xs)
-    y0f = jnp.floor(ys)
-    wx = (xs - x0f)[..., None]
-    wy = (ys - y0f)[..., None]
-    x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 2)
+    # clamp to the border in FLOAT space, BEFORE floor: weights computed
+    # from an unclamped floor against clamped indices returned the
+    # second-to-last pixel for samples at/past the edge (xs = w-1 gave
+    # wx = 0 with x0 clamped to w-2) and extrapolated beyond it — the
+    # Pallas warp clamps correctly, so the "tested equal" paths diverged
+    # on edge faces
+    xs = jnp.clip(xs, 0.0, float(w - 1))
+    ys = jnp.clip(ys, 0.0, float(h - 1))
+    x0 = jnp.minimum(jnp.floor(xs).astype(jnp.int32), w - 2)
+    y0 = jnp.minimum(jnp.floor(ys).astype(jnp.int32), h - 2)
+    # weights against the CLAMPED index (xs = w-1 -> x0 = w-2, wx = 1 ->
+    # exactly the border pixel)
+    wx = (xs - x0.astype(jnp.float32))[..., None]
+    wy = (ys - y0.astype(jnp.float32))[..., None]
     x1 = x0 + 1
-    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 2)
     y1 = y0 + 1
     flat = frame.reshape(h * w, -1)
 

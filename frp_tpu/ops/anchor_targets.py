@@ -80,13 +80,22 @@ def assign_targets(
     best_gt_iou = jnp.max(iou, axis=1)          # [A]
     best_gt_idx = jnp.argmax(iou, axis=1)       # [A]
 
-    # force-match: each GT's best anchor becomes positive for that GT
+    # force-match: each GT's best anchor becomes positive for that GT.
+    # Invalid (padded) GT columns are all -1 IoU, so they ALL argmax to
+    # anchor 0 — a plain .set() scatter with those duplicate indices could
+    # nondeterministically clobber a valid GT's forced match on anchor 0
+    # (the face would lose its only positive anchor). Accumulate with
+    # .max() instead: True/valid always wins, ties break to the highest
+    # GT index, deterministically.
     best_anchor_idx = jnp.argmax(iou, axis=0)   # [G]
-    forced = jnp.zeros((a,), bool)
-    forced = forced.at[best_anchor_idx].set(gt_valid)
-    best_gt_idx = best_gt_idx.at[best_anchor_idx].set(
-        jnp.where(gt_valid, jnp.arange(gt_boxes.shape[0]), best_gt_idx[best_anchor_idx])
+    g_idx = jnp.arange(gt_boxes.shape[0])
+    forced = jnp.zeros((a,), bool).at[best_anchor_idx].max(gt_valid)
+    forced_gt = (
+        jnp.full((a,), -1, jnp.int32)
+        .at[best_anchor_idx]
+        .max(jnp.where(gt_valid, g_idx, -1).astype(jnp.int32))
     )
+    best_gt_idx = jnp.where(forced_gt >= 0, forced_gt, best_gt_idx)
 
     positive = jnp.logical_or(best_gt_iou >= pos_thresh, forced)
     negative = jnp.logical_and(~positive, best_gt_iou < neg_thresh)

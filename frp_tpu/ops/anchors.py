@@ -25,7 +25,7 @@ RETINAFACE_CFG = {
 
 
 @lru_cache(maxsize=8)
-def generate_anchors(image_size: int = 640, cfg_key: tuple | None = None) -> np.ndarray:
+def generate_anchors(image_size: int = 640) -> np.ndarray:
     """Return priors [A, 4] in normalized (cx, cy, w, h), float32.
 
     For image_size=640 -> A = 2*(80^2 + 40^2 + 20^2) = 16800 anchors.

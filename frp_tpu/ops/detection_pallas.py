@@ -172,6 +172,15 @@ def fused_detection_head(
     b, a = scores.shape
     k = min(pre_topk, a)
     assert max_out <= k, (max_out, k)
+    if k > 256:
+        # the kernel's slot compaction feeds candidate RANKS through an MXU
+        # matmul; bf16 represents integers exactly only up to 256, so
+        # k > 256 would silently copy the WRONG candidate's box into a
+        # "valid" slot — route to the XLA path instead of corrupting
+        assert use_pallas is not True, (
+            f"pre_topk={k} > 256 exceeds the kernel's exact-rank range"
+        )
+        use_pallas = False
     if use_pallas is False:
         # XLA reference path (same semantics, tested equal) — for kernel
         # debugging and apples-to-apples microbenchmarks; mirrors

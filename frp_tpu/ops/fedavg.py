@@ -66,6 +66,10 @@ def resolve_weights(
 
 def check_layer_consistency(updates: dict) -> list:
     """All clients must expose identical layer-name sets; returns sorted names."""
+    if not updates:
+        # a bare next() would raise StopIteration, bypassing callers'
+        # except FedAvgError handling (platform/federated.py)
+        raise FedAvgError("no client updates to aggregate")
     its = iter(updates.items())
     first_client, first = next(its)
     names = set(first.keys())

@@ -78,16 +78,24 @@ def nms_padded(
 
 
 def _select_slots(keep, top_scores, top_boxes, top_ldm, max_out, k):
-    kept_scores = jnp.where(keep, top_scores, 0.0)
+    # rank kept boxes strictly above suppressed/padded ones regardless of
+    # score, then validity comes from the KEEP mask — `score > 0` dropped a
+    # kept box whose score is exactly 0.0 (conf_thresh <= 0, underflowed
+    # softmax) even though it had already suppressed its neighbors
+    sort_key = keep.astype(jnp.float32) * 2.0 + top_scores
+    kept = keep
     if max_out > k:  # fewer candidates than output slots: pad the pool
         pad = max_out - k
-        kept_scores = jnp.concatenate([kept_scores, jnp.zeros((pad,))])
+        sort_key = jnp.concatenate([sort_key, jnp.zeros((pad,))])
+        kept = jnp.concatenate([kept, jnp.zeros((pad,), bool)])
+        top_scores = jnp.concatenate([top_scores, jnp.zeros((pad,))])
         top_boxes = jnp.concatenate([top_boxes, jnp.zeros((pad, 4))])
         top_ldm = jnp.concatenate([top_ldm, jnp.zeros((pad, top_ldm.shape[1]))])
-    out_scores, out_idx = jax.lax.top_k(kept_scores, max_out)
+    _, out_idx = jax.lax.top_k(sort_key, max_out)
     out_boxes = jnp.take(top_boxes, out_idx, axis=0)
     out_ldm = jnp.take(top_ldm, out_idx, axis=0)
-    valid = out_scores > 0.0
+    valid = jnp.take(kept, out_idx)
+    out_scores = jnp.where(valid, jnp.take(top_scores, out_idx), 0.0)
     zeros = jnp.zeros_like(out_boxes)
     return {
         "boxes": jnp.where(valid[:, None], out_boxes, zeros),

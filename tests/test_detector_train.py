@@ -96,3 +96,27 @@ def test_detector_overfits_fixed_batch():
     losses = [trainer.train_step(images, gt, ldm, valid)["loss"] for _ in range(6)]
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_force_match_not_clobbered_by_padded_gts():
+    """Padded (invalid) GT slots all argmax to anchor 0; the force-match
+    scatter must not let them clobber a valid GT whose best anchor IS
+    anchor 0 (a face would lose its only positive anchor)."""
+    import jax.numpy as jnp
+
+    from frp_tpu.ops.anchor_targets import assign_targets
+    from frp_tpu.ops.anchors import generate_anchors
+
+    priors = jnp.asarray(generate_anchors(128))
+    # a tiny box overlapping anchor 0 (stride-8 cell at the origin) with
+    # IoU below pos_thresh so ONLY force-match can make it positive
+    gt_boxes = jnp.asarray([[0.0, 0.0, 6.0, 6.0]] + [[0.0, 0.0, 0.0, 0.0]] * 3) / 128.0
+    gt_ldm = jnp.zeros((4, 10))
+    gt_valid = jnp.asarray([True, False, False, False])
+    out = assign_targets(priors, gt_boxes, gt_ldm, gt_valid)
+    labels = np.asarray(out["labels"])
+    best_idx = np.asarray(out["best_gt_idx"]) if "best_gt_idx" in out else None
+    iou_argmax_anchor = 0  # by construction the box sits in the first cell
+    assert labels[iou_argmax_anchor] == 1, (
+        "valid GT's forced anchor was clobbered by padded GT scatter"
+    )

@@ -185,3 +185,82 @@ def test_nms_pallas_interpret_matches_xla(rng):
         use_pallas=True, **kw)
     np.testing.assert_array_equal(np.asarray(xla["valid"]), np.asarray(pls["valid"]))
     np.testing.assert_allclose(np.asarray(xla["scores"]), np.asarray(pls["scores"]), rtol=1e-6)
+
+
+def test_bilinear_border_pixel_exact():
+    """Samples at/past the frame edge return the BORDER pixel (the old
+    weight-vs-clamped-index mismatch returned the second-to-last one)."""
+    import jax.numpy as jnp
+
+    from frp_tpu.ops.align import _bilinear_sample
+
+    w = 8
+    frame = jnp.arange(w, dtype=jnp.float32)[None, :, None].repeat(4, axis=0)
+    xs = jnp.array([[float(w - 1)], [float(w) + 1.5], [float(w - 2) + 0.25]])
+    ys = jnp.zeros_like(xs)
+    out = np.asarray(_bilinear_sample(frame, xs, ys))[..., 0]
+    assert out[0, 0] == w - 1          # exactly the last column
+    assert out[1, 0] == w - 1          # past the edge clamps, no extrapolation
+    np.testing.assert_allclose(out[2, 0], w - 2 + 0.25, atol=1e-5)
+
+
+def test_nms_zero_score_kept_box_stays_valid():
+    """conf_thresh=0: a kept box whose score is exactly 0.0 must come out
+    VALID (it already suppressed its neighbors); validity is keep-based,
+    not score>0."""
+    import jax.numpy as jnp
+
+    from frp_tpu.ops.nms import nms_padded
+
+    boxes = jnp.asarray([[10.0, 10, 50, 50], [200.0, 200, 240, 240]])
+    scores = jnp.asarray([0.9, 0.0])  # disjoint boxes, one zero score
+    ldm = jnp.zeros((2, 10))
+    out = nms_padded(boxes, scores, ldm, pre_topk=2, max_out=4, conf_thresh=0.0)
+    assert int(np.asarray(out["count"])) == 2
+    assert np.asarray(out["valid"])[:2].all()
+
+
+def test_fused_head_large_pre_topk_routes_to_xla():
+    """pre_topk > 256 exceeds the kernel's exact bf16 rank range — it must
+    take the XLA path (same results as nms reference), not corrupt slots."""
+    import jax.numpy as jnp
+
+    from frp_tpu.ops.anchors import generate_anchors
+    from frp_tpu.ops.decode import decode_boxes, decode_landmarks
+    from frp_tpu.ops.detection_pallas import fused_detection_head
+    from frp_tpu.ops.nms import nms_padded_batched
+
+    rng = np.random.default_rng(0)
+    priors = jnp.asarray(generate_anchors(128))
+    a = priors.shape[0]
+    loc = jnp.asarray(rng.normal(size=(1, a, 4)).astype(np.float32) * 0.1)
+    ldm = jnp.asarray(rng.normal(size=(1, a, 10)).astype(np.float32) * 0.1)
+    scores = jnp.asarray(rng.uniform(size=(1, a)).astype(np.float32))
+    out = fused_detection_head(
+        loc, ldm, scores, priors, pre_topk=512, max_out=8,
+        conf_thresh=0.9, image_size=128.0,
+    )
+    ref = nms_padded_batched(
+        decode_boxes(loc, priors, 128.0), scores,
+        decode_landmarks(ldm, priors, 128.0),
+        pre_topk=512, max_out=8, conf_thresh=0.9,
+    )
+    np.testing.assert_array_equal(np.asarray(out["valid"]), np.asarray(ref["valid"]))
+    np.testing.assert_allclose(
+        np.asarray(out["boxes"]), np.asarray(ref["boxes"]), atol=1e-4
+    )
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        fused_detection_head(
+            loc, ldm, scores, priors, pre_topk=512, max_out=8,
+            conf_thresh=0.9, image_size=128.0, use_pallas=True,
+        )
+
+
+def test_fedavg_empty_updates_raise_fedavg_error():
+    import pytest as _pytest
+
+    from frp_tpu.ops.fedavg import FedAvgError, check_layer_consistency
+
+    with _pytest.raises(FedAvgError):
+        check_layer_consistency({})
