@@ -60,7 +60,8 @@ class AlertService:
         self.sms_cooldown = sms_cooldown
         self.email_retries = email_retries
 
-        self.alert_queue: list[dict] = []
+        # bounded: appended per alert forever in a 24/7 process
+        self.alert_queue: deque = deque(maxlen=1000)
         self.alert_history: dict[str, deque] = defaultdict(lambda: deque(maxlen=200))
         self.watchlist: set[str] = set()
         self.geofence_zones: dict[str, dict] = {}
@@ -154,11 +155,10 @@ class AlertService:
     # -- alert generation ----------------------------------------------------
     @staticmethod
     def _confidence(distance: float) -> str:
-        if distance < 0.4:
-            return "high"
-        if distance < 0.6:
-            return "medium"
-        return "low"
+        # one banding rule, shared with compare + tracking (ops.matching)
+        from frp_tpu.ops.matching import confidence_level
+
+        return confidence_level(distance)
 
     def generate_alert(
         self,
@@ -386,8 +386,9 @@ class AlertService:
                 return True
             except Exception as e:
                 logger.warning("email attempt %d failed: %s", attempt + 1, e)
-                time.sleep(delay)
-                delay *= 2
+                if attempt < self.email_retries:  # no pointless sleep after
+                    time.sleep(delay)             # the final attempt (holds a
+                    delay *= 2                    # notification semaphore slot)
         return False
 
     def _send_sms(self, alert: dict) -> bool:

@@ -163,4 +163,5 @@ class AppContext:
     def shutdown(self):
         self.health.stop()
         self.async_tasks.shutdown()
+        self.tracking.shutdown()
         self.cameras.close_all()

@@ -85,14 +85,21 @@ class DeepfakeService:
         finally:
             cap.release()
 
-    def _sample_indices(self, frame_count: int, random_sampling: bool) -> np.ndarray:
+    def _sample_indices(
+        self, frame_count: int, random_sampling: bool, seed=None
+    ) -> np.ndarray:
         n = min(self.max_frames, max(frame_count, 1))
         if frame_count <= self.max_frames:
             return np.arange(frame_count)
         if random_sampling:
-            return np.sort(
-                np.random.default_rng(0).choice(frame_count, size=n, replace=False)
-            )
+            # per-video seed: a constant rng(0) made "random" sampling one
+            # fixed index pattern across every video and every call — a
+            # deepfake whose manipulated frames avoid that pattern would
+            # never be examined. Seeding from the video keeps the SHA-dedup
+            # cache consistent (same file -> same frames) while different
+            # videos get different draws.
+            rng = np.random.default_rng(seed)
+            return np.sort(rng.choice(frame_count, size=n, replace=False))
         step = frame_count / n
         return (np.arange(n) * step).astype(np.int64)
 
@@ -153,7 +160,12 @@ class DeepfakeService:
         t0 = time.perf_counter()
         threshold = self.threshold if threshold is None else threshold
         info = self.probe_video(path)
-        idx = self._sample_indices(info["frame_count"], random_sampling)
+        import zlib
+
+        seed = zlib.crc32(
+            f"{os.path.basename(path)}:{info['frame_count']}".encode()
+        )
+        idx = self._sample_indices(info["frame_count"], random_sampling, seed)
 
         cap = cv2.VideoCapture(path)
         frames = []

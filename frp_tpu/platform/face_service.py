@@ -217,10 +217,23 @@ class FaceService:
         audit_event("face_stored", {"target": target_name})
         return {"success": True, "target": target_name, "warning": warning}
 
+    @staticmethod
+    def _safe_file_stem(target: str) -> str:
+        """Filesystem-safe stem for backup files. Route path params are
+        percent-DECODED after matching (api/http.py), so '..%2F..' arrives
+        as a literal '../..' — without this, delete_face could remove any
+        '*_backup.json' outside the backup dir (same sanitization as
+        FederatedService._path)."""
+        import re
+
+        return re.sub(r"[^A-Za-z0-9._-]", "_", target)[:128] or "_"
+
     def _write_backup(self, target: str, emb: np.ndarray):
         try:
             os.makedirs(self._backup_dir, exist_ok=True)
-            path = os.path.join(self._backup_dir, f"{target}_backup.json")
+            path = os.path.join(
+                self._backup_dir, f"{self._safe_file_stem(target)}_backup.json"
+            )
             tmp = path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(
@@ -239,7 +252,9 @@ class FaceService:
             res = self._faces_coll.delete_one({"target": target_name})
             removed_db = getattr(res, "deleted_count", 0) > 0
         try:
-            path = os.path.join(self._backup_dir, f"{target_name}_backup.json")
+            path = os.path.join(
+                self._backup_dir, f"{self._safe_file_stem(target_name)}_backup.json"
+            )
             if os.path.exists(path):
                 os.remove(path)
         except OSError:

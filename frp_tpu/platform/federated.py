@@ -159,6 +159,11 @@ class FederatedService:
 
     # -- weight upload (federated.py:150-265) ----------------------------------
     def upload_weights(self, client_id: str, weights: dict) -> dict:
+        if client_id.startswith("global_model"):
+            # aggregate() filters these out of the client list; the upload
+            # path must too, or a client named global_model_v1 silently
+            # clobbers the stored aggregated model in memory AND on disk
+            raise FedAvgError("client_id may not start with 'global_model'")
         info = validate_client_update(weights)  # raises FedAvgError on bad input
         arrays = {k: np.asarray(v, np.float64) for k, v in weights.items()}
         with self._lock:

@@ -59,8 +59,14 @@ class HealthMonitor:
             if ok:
                 self._next_probe[cam.id] = now + self.interval
             else:
-                # exponential backoff on consecutive failures
-                delay = min(BACKOFF_CAP, BACKOFF_BASE * (2 ** cam.consecutive_failures))
+                # exponential backoff on consecutive failures; the exponent
+                # must be clamped — consecutive_failures grows unbounded
+                # (one per scan tick on a dead camera), and 2**1024
+                # overflows the float multiply, killing the whole probe loop
+                delay = min(
+                    BACKOFF_CAP,
+                    BACKOFF_BASE * (2 ** min(cam.consecutive_failures, 16)),
+                )
                 self._next_probe[cam.id] = now + delay
             results[cam.id] = {
                 "healthy": cam.healthy,

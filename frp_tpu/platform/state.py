@@ -293,9 +293,14 @@ class CameraRegistry:
             if "geo" in fields and fields["geo"] is not None:
                 cam.geo = tuple(fields["geo"])
             if "source" in fields and fields["source"] is not None:
+                # build the NEW source before releasing the old one: an
+                # invalid spec raises out of make_source, and releasing
+                # first would leave the camera permanently dead even though
+                # the update "failed" (route returns the error either way)
+                new_source = make_source(fields["source"])
                 cam.release()
                 cam.source_spec = fields["source"]
-                cam.source = make_source(fields["source"])
+                cam.source = new_source
                 cam.healthy = cam.source.opened
             return cam
 

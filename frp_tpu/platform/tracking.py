@@ -35,11 +35,10 @@ def haversine_km(geo1, geo2) -> float:
 
 
 def confidence_band(distance: float) -> str:
-    if distance < 0.4:
-        return "high"
-    if distance < 0.6:
-        return "medium"
-    return "low"
+    # one banding rule, shared with compare + alerts (ops.matching)
+    from frp_tpu.ops.matching import confidence_level
+
+    return confidence_level(distance)
 
 
 class TrackingService:
@@ -56,6 +55,11 @@ class TrackingService:
         self._lock = threading.RLock()
         self._persist_fn = persist_fn
         self._event_hub = event_hub
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._persist_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="tracking-persist"
+        )
 
         self.movement_history: dict[str, deque] = defaultdict(
             lambda: deque(maxlen=history_limit)
@@ -151,11 +155,12 @@ class TrackingService:
             self._anomaly_scores[person_name].append(anomaly)
             self._update_trajectory(person_name)
 
-        # outside the lock: persistence + live events
+        # outside the lock: persistence + live events. One shared worker —
+        # a fresh Thread per detection (reference tracking_service.py:212-216)
+        # piles up short-lived threads that each sleep through store retries
+        # during outages
         if self._persist_fn is not None:
-            threading.Thread(
-                target=self._persist_fn, args=(dict(record),), daemon=True
-            ).start()
+            self._persist_pool.submit(self._persist_fn, dict(record))
         if self._event_hub is not None:
             self._event_hub.emit("update_movement_log", record)
             self._event_hub.emit(
@@ -509,6 +514,9 @@ class TrackingService:
                 "total_unique_locations": len(all_cams),
             }
 
+    def shutdown(self):
+        self._persist_pool.shutdown(wait=False, cancel_futures=True)
+
     def clear_history(self, person: str | None = None) -> dict:
         with self._lock:
             if person:
@@ -524,6 +532,11 @@ class TrackingService:
                 ):
                     store.pop(person, None)
                 self.current_locations.pop(person, None)
+                # stale cooldown stamps would reject the person's next
+                # detection as a duplicate right after the clear (the
+                # full-clear branch below already clears last_detection)
+                for key in [k for k in self.last_detection if k[0] == person]:
+                    self.last_detection.pop(key, None)
                 return {"cleared": existed, "person": person}
             n = len(self.movement_history)
             self.movement_history.clear()

@@ -398,3 +398,92 @@ def test_cipher_roundtrip_and_key_reuse(tmp_path):
     c2 = EmbeddingCipher(str(tmp_path))
     np.testing.assert_allclose(c2.decrypt_embedding(token), emb)
     assert c2.decrypt_embedding("garbage") is None
+
+
+def test_delete_face_path_traversal_blocked(tmp_path):
+    """Percent-decoded path params can contain '../'; delete_face must not
+    escape the backup dir (it previously os.remove'd any *_backup.json)."""
+    from frp_tpu.platform.face_service import FaceService
+
+    victim = tmp_path / "secret_backup.json"
+    victim.write_text("{}")
+    backups = tmp_path / "backups"
+    backups.mkdir()
+
+    class E:
+        class gallery:
+            @staticmethod
+            def remove(name):
+                return True
+
+            names = []
+
+    svc = FaceService.__new__(FaceService)
+    svc.gallery = E.gallery
+    svc._faces_coll = None
+    svc._backup_dir = str(backups)
+    traversal = "../secret"
+    res = svc.delete_face(traversal)
+    assert victim.exists(), "file outside backup dir was deleted!"
+
+
+def test_fl_upload_cannot_clobber_global_model(tmp_path):
+    from frp_tpu.ops.fedavg import FedAvgError
+    from frp_tpu.platform.federated import FederatedService
+
+    fl = FederatedService(weights_dir=str(tmp_path), min_clients=2)
+    for c in ("a", "b"):
+        fl.upload_weights(c, {"l1": [1.0, 2.0]})
+    fl.aggregate()
+    before = fl.get_weights("global_model_v1")
+    import pytest as _pytest
+    with _pytest.raises(FedAvgError):
+        fl.upload_weights("global_model_v1", {"evil": [9.0]})
+    after = fl.get_weights("global_model_v1")
+    assert set(after.keys()) == set(before.keys()) == {"l1"}
+
+
+def test_clear_history_clears_cooldown():
+    from frp_tpu.platform.tracking import TrackingService
+
+    t = TrackingService(camera_metadata={0: {"name": "A", "geo": (0, 0)}},
+                        cooldown_seconds=60)
+    assert t.record_detection("p", 0, 0.2)["recorded"]
+    t.clear_history("p")
+    # a fresh detection right after the clear must NOT be a cooldown dup
+    rec = t.record_detection("p", 0, 0.2)
+    assert rec["recorded"], rec
+    t.shutdown()
+
+
+def test_camera_update_invalid_source_keeps_old(tmp_path):
+    from frp_tpu.platform.state import CameraRegistry
+
+    reg = CameraRegistry()
+    reg.init_cameras([{"id": 0, "name": "A", "source": "synthetic:32x32"}])
+    cam = reg.get(0)
+    ok, frame = cam.read()
+    assert ok
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        reg.update(0, source="synthetic:12xab")  # invalid spec
+    # the old source must still be live (previously released before the
+    # new-source construction failed)
+    ok, frame = reg.get(0).read()
+    assert ok and frame is not None
+    reg.close_all()
+
+
+def test_health_backoff_huge_failure_count_no_overflow():
+    from frp_tpu.platform.health import HealthMonitor
+    from frp_tpu.platform.state import CameraRegistry
+
+    reg = CameraRegistry()
+    reg.init_cameras([{"id": 0, "name": "A", "source": "synthetic:32x32"}])
+    cam = reg.get(0)
+    cam.consecutive_failures = 5000  # a dead camera after ~90 min of scans
+    cam.read = lambda: (False, None)  # force the failure branch
+    mon = HealthMonitor(reg, None, interval=0.01)
+    out = mon.probe_all()  # previously OverflowError
+    assert out[0]["consecutive_failures"] >= 5000
+    reg.close_all()
