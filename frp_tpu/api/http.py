@@ -71,7 +71,13 @@ class Request:
         fields: dict[str, str] = {}
         files: dict[str, UploadFile] = {}
         for part in self.body.split(boundary):
-            part = part.strip(b"\r\n")
+            # remove exactly ONE delimiter CRLF on each side — strip(b"\\r\\n")
+            # removes EVERY trailing 0x0D/0x0A byte, silently truncating
+            # binary uploads whose content ends in newline bytes
+            if part.startswith(b"\r\n"):
+                part = part[2:]
+            if part.endswith(b"\r\n"):
+                part = part[:-2]
             if not part or part == b"--":
                 continue
             if b"\r\n\r\n" not in part:
@@ -147,6 +153,26 @@ class StreamResponse:
         self.headers = headers or {}
 
 
+def parse_float_param(raw, name: str, default: float) -> float:
+    """422 (not 500) on malformed client-supplied numbers — FastAPI
+    semantics, matching Request.query_float for form/mixed sources."""
+    if raw is None or raw == "":
+        return default
+    try:
+        return float(raw)
+    except (TypeError, ValueError):
+        raise HTTPError(422, f"'{name}' must be a number")
+
+
+def parse_int_param(raw, name: str, default: int) -> int:
+    if raw is None or raw == "":
+        return default
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        raise HTTPError(422, f"'{name}' must be an integer")
+
+
 def json_response(data: Any, status: int = 200, headers: dict | None = None) -> Response:
     # The reference stamps "status": "success" on every 2xx JSON body
     # (grep JSONResponse across backend/app/routes/*) and its clients key off
@@ -177,6 +203,7 @@ _STATUS_TEXT = {
     400: "Bad Request", 401: "Unauthorized", 404: "Not Found",
     405: "Method Not Allowed", 409: "Conflict", 413: "Payload Too Large",
     422: "Unprocessable Entity", 429: "Too Many Requests",
+    431: "Request Header Fields Too Large",
     500: "Internal Server Error", 503: "Service Unavailable",
 }
 
@@ -297,6 +324,8 @@ class HTTPServer:
             line = await asyncio.wait_for(reader.readline(), timeout=75)
         except asyncio.TimeoutError:
             return None
+        except ValueError:  # request line beyond the StreamReader limit
+            raise HTTPError(431, "request line too long")
         if not line or line in (b"\r\n", b"\n"):
             return None
         try:
@@ -304,15 +333,37 @@ class HTTPServer:
         except ValueError:
             return None
         headers: dict[str, str] = {}
+        # cap the header section (MAX_BODY only bounds the body) and keep
+        # the 75 s deadline running through it — otherwise an endless or
+        # byte-per-minute header stream grows memory / pins the connection
+        deadline = asyncio.get_running_loop().time() + 75
+        header_bytes = 0
         while True:
-            hline = await reader.readline()
+            remaining = deadline - asyncio.get_running_loop().time()
+            if remaining <= 0:
+                return None
+            try:
+                hline = await asyncio.wait_for(reader.readline(), timeout=remaining)
+            except asyncio.TimeoutError:
+                return None
+            except ValueError:
+                # a single header line beyond the StreamReader limit (64 KB)
+                raise HTTPError(431, "header line too long")
             if not hline or hline in (b"\r\n", b"\n"):
                 break
+            header_bytes += len(hline)
+            if header_bytes > 65536 or len(headers) > 200:
+                raise HTTPError(431, "header section too large")
             if b":" in hline:
                 k, v = hline.decode("latin1").split(":", 1)
                 headers[k.strip().lower()] = v.strip()
         body = b""
-        length = int(headers.get("content-length", 0) or 0)
+        try:
+            length = int(headers.get("content-length", 0) or 0)
+        except ValueError:
+            raise HTTPError(400, "invalid Content-Length")
+        if length < 0:
+            raise HTTPError(400, "invalid Content-Length")
         if length:
             if length > MAX_BODY:
                 raise HTTPError(413, "body too large")
@@ -322,7 +373,14 @@ class HTTPServer:
             total = 0
             while True:
                 size_line = await reader.readline()
-                size = int(size_line.strip() or b"0", 16)
+                try:
+                    # chunk extensions ("1a;ext=1") are legal; size is the
+                    # part before ';'
+                    size = int(
+                        (size_line.split(b";")[0].strip() or b"0"), 16
+                    )
+                except ValueError:
+                    raise HTTPError(400, "invalid chunk size")
                 if size == 0:
                     await reader.readline()
                     break

@@ -22,7 +22,10 @@ def register(router, ctx):
         target = request.query.get("target")
         priority = request.query.get("priority")
         since = request.query.get("since")
-        since_dt = datetime.fromisoformat(since) if since else None
+        try:
+            since_dt = datetime.fromisoformat(since) if since else None
+        except ValueError:
+            raise HTTPError(422, "'since' must be an ISO-8601 timestamp")
         limit = request.query_int("limit", 50)
         offset = request.query_int("offset", 0)
         sort = request.query.get("sort", "time")

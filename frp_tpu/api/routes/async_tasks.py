@@ -7,7 +7,9 @@ polls; job lifecycle events stream over Socket.IO.
 
 from __future__ import annotations
 
-from frp_tpu.api.http import HTTPError, Request, json_response
+import asyncio
+
+from frp_tpu.api.http import HTTPError, parse_float_param, Request, json_response
 from frp_tpu.api.routes.face import decode_image
 
 
@@ -20,8 +22,10 @@ def register(router, ctx):
         upload = files.get("file") or files.get("image")
         if upload is None:
             raise HTTPError(422, "multipart field 'file' is required")
-        tolerance = float(fields.get("tolerance", ctx.cfg.face_tolerance))
-        image = decode_image(upload.data)
+        tolerance = parse_float_param(
+            fields.get("tolerance"), "tolerance", ctx.cfg.face_tolerance
+        )
+        image = await asyncio.to_thread(decode_image, upload.data)
         job = mgr.enqueue_face_search(
             image, tolerance, meta={"filename": upload.filename}
         )

@@ -9,6 +9,7 @@ the reference's per-camera thread pool (:277-306).
 from __future__ import annotations
 
 import asyncio
+import threading
 import time
 
 import numpy as np
@@ -73,7 +74,13 @@ class CameraScanStats:
 
 def register(router, ctx):
     scan_stats = CameraScanStats()
-    scan_lock = asyncio.Lock()
+    # THREAD-level mutex held inside run_scan itself: the background
+    # scan_loop (api/main.py) and /camera/alerts call run_scan from
+    # different threads — an asyncio lock here would only serialize the
+    # HTTP side, leaving concurrent cap.read()/engine dispatch/duplicate
+    # alerts when the loop is on
+    scan_mutex = threading.Lock()
+    last_scan = {"t": 0.0, "digest": None}  # freshest non-dry scan result
 
     def _get_camera(request: Request):
         try:
@@ -91,7 +98,19 @@ def register(router, ctx):
     ) -> dict:
         """dry=True runs detect->match only (no tracking records, alerts, DB
         writes, or socket events) — used by startup warmup to compile the
-        exact serving shapes without side effects."""
+        exact serving shapes without side effects. Serialized by scan_mutex:
+        callers live on different THREADS (background loop + HTTP handlers),
+        and concurrent cap.read()/tracking writes would race."""
+        with scan_mutex:
+            out = _run_scan_locked(threshold, frame_skip, max_faces, dry)
+            if not dry:
+                last_scan["t"] = time.time()
+                last_scan["digest"] = out
+            return out
+
+    def _run_scan_locked(
+        threshold: float, frame_skip: int, max_faces: int, dry: bool
+    ) -> dict:
         t0 = time.perf_counter()
         cams = ctx.cameras.all()
         frames: dict[int, np.ndarray | None] = {}
@@ -175,7 +194,26 @@ def register(router, ctx):
         threshold = request.query_float("threshold", ctx.cfg.face_tolerance)
         frame_skip = request.query_int("frame_skip", ctx.cfg.frame_skip)
         max_faces = request.query_int("max_faces", 10)
-        async with scan_lock:  # one batched scan at a time
+        # When the background scan loop is running with these same defaults,
+        # reuse its freshest digest instead of queueing ANOTHER scan behind
+        # the mutex — on a slow backend the poll endpoint would otherwise
+        # starve waiting for the loop's next gap.
+        defaults = (
+            threshold == ctx.cfg.face_tolerance
+            and frame_skip == ctx.cfg.frame_skip
+            and max_faces == 10
+        )
+        prev = last_scan["digest"]
+        freshness = max(
+            2.0,
+            2.0 * ctx.cfg.camera_scan_interval,
+            # a slow backend's loop produces digests at scan-duration cadence;
+            # the newest available one IS the current state
+            3.0 * (prev or {}).get("processing_time", 0.0),
+        )
+        if defaults and time.time() - last_scan["t"] < freshness:
+            scan = last_scan["digest"]
+        else:
             scan = await asyncio.to_thread(run_scan, threshold, frame_skip, max_faces)
         all_alerts = ctx.alerts.get_alerts(limit=50)
         # reference envelope (camera.py:367-387, consumed by App.jsx:119-144):
@@ -216,9 +254,7 @@ def register(router, ctx):
                 "all_alerts": all_alerts,
                 "new_alerts": scan["alerts"],
                 "detections": scan["detections"],
-                "alert_history": {
-                    t: list(hh)[-10:] for t, hh in ctx.alerts.alert_history.items()
-                },
+                "alert_history": ctx.alerts.history_snapshot(10),
             }
         )
 
@@ -416,7 +452,7 @@ def register(router, ctx):
             cam_id = int(fields.get("camera_id", fields.get("id", 0)))
         except ValueError:
             raise HTTPError(422, "'camera_id' must be an integer")
-        rgb = decode_image(upload.data)
+        rgb = await asyncio.to_thread(decode_image, upload.data)
         bgr = np.ascontiguousarray(rgb[..., ::-1])
         cam = ctx.cameras.get(cam_id)
         if cam is None:
@@ -428,7 +464,7 @@ def register(router, ctx):
             raise HTTPError(409, f"camera {cam_id} is not a push-mode camera")
         cam.source.push(bgr)
         cam.healthy = True
-        cam.last_seen = __import__("time").time()
+        cam.last_seen = time.time()
         return json_response(
             {"success": True, "camera_id": cam_id, "frames_pushed": cam.source.pushed}
         )

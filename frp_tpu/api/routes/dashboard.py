@@ -104,10 +104,16 @@ async function refreshCams() {
   const grid = document.getElementById('cams');
   grid.innerHTML = '';
   for (const cam of d.cameras.slice(0, 4)) {
+    // textContent, not innerHTML: camera names are operator input via the
+    // unauthenticated POST /camera/add (stored XSS otherwise)
     const div = document.createElement('div');
     div.className = 'cam';
-    div.innerHTML = `<img src="/api/camera/${cam.id}/snapshot?t=${Date.now()}">
-      <span class="label">${cam.id} · ${cam.name} ${cam.healthy ? '' : '⚠'}</span>`;
+    const img = document.createElement('img');
+    img.src = `/api/camera/${encodeURIComponent(cam.id)}/snapshot?t=${Date.now()}`;
+    const label = document.createElement('span');
+    label.className = 'label';
+    label.textContent = `${cam.id} · ${cam.name} ${cam.healthy ? '' : '⚠'}`;
+    div.append(img, label);
     grid.appendChild(div);
   }
 }

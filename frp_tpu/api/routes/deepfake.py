@@ -10,7 +10,7 @@ import asyncio
 import os
 import tempfile
 
-from frp_tpu.api.http import HTTPError, Request, StreamResponse, json_response
+from frp_tpu.api.http import HTTPError, parse_float_param, Request, StreamResponse, json_response
 from frp_tpu.api.routes.face import decode_image
 
 VIDEO_TYPES = {"video/mp4", "video/avi", "video/x-msvideo", "video/quicktime", "video/webm"}
@@ -30,8 +30,12 @@ def register(router, ctx):
         tmpdir = os.path.join(ctx.cfg.data_dir, "temp_uploads")
         os.makedirs(tmpdir, exist_ok=True)
         fd, path = tempfile.mkstemp(dir=tmpdir, suffix=os.path.splitext(upload.filename)[1] or ".mp4")
-        with os.fdopen(fd, "wb") as f:
-            f.write(upload.data)
+
+        def _write():  # up to 100 MB — off the event loop
+            with os.fdopen(fd, "wb") as f:
+                f.write(upload.data)
+
+        await asyncio.to_thread(_write)
         return path
 
     @router.post("/deepfake/detect")
@@ -42,7 +46,9 @@ def register(router, ctx):
             raise HTTPError(422, "multipart field 'file' is required")
         path = await _save_temp_video(upload)
         try:
-            threshold = float(fields.get("threshold", ctx.cfg.deepfake_threshold))
+            threshold = parse_float_param(
+                fields.get("threshold"), "threshold", ctx.cfg.deepfake_threshold
+            )
             random_sampling = fields.get("random_sampling", "").lower() in ("1", "true")
             result = await asyncio.to_thread(
                 df.process_video_cached, path,
@@ -63,11 +69,13 @@ def register(router, ctx):
         upload = files.get("file") or files.get("image")
         if upload is None:
             raise HTTPError(422, "multipart field 'file' is required")
-        image = decode_image(upload.data)  # RGB
+        image = await asyncio.to_thread(decode_image, upload.data)  # RGB
         bgr = image[..., ::-1]
         results = await asyncio.to_thread(df.classify_frames, [bgr])
         r = results[0]
-        threshold = float(fields.get("threshold", ctx.cfg.deepfake_threshold))
+        threshold = parse_float_param(
+            fields.get("threshold"), "threshold", ctx.cfg.deepfake_threshold
+        )
         if r["fake_prob"] is None:
             return json_response({"result": "no_faces", "faces": 0})
         return json_response(

@@ -17,6 +17,8 @@ from datetime import datetime
 import numpy as np
 
 from frp_tpu.api.http import (
+    parse_float_param,
+    parse_int_param,
     HTTPError,
     Request,
     Response,
@@ -168,9 +170,9 @@ def register(router, ctx):
         _validate_upload(upload, target)
         # override / min_quality / save_raw are QUERY params in the reference
         # (face.py:117-121); form fields kept as an extension
-        min_quality = float(
-            request.query.get("min_quality")
-            or fields.get("min_quality", ctx.cfg.min_face_quality)
+        min_quality = parse_float_param(
+            request.query.get("min_quality") or fields.get("min_quality"),
+            "min_quality", ctx.cfg.min_face_quality,
         )
         override = (
             request.query.get("override") or fields.get("override", "")
@@ -178,7 +180,9 @@ def register(router, ctx):
         save_raw = (
             request.query.get("save_raw") or fields.get("save_raw", "")
         ).lower() in ("1", "true", "yes")
-        image = decode_image(upload.data)
+        # cv2.imdecode of a 10 MB upload stalls the event loop
+        # (and every socket.io heartbeat) if run inline
+        image = await asyncio.to_thread(decode_image, upload.data)
         result = await asyncio.to_thread(_enroll, image, target, min_quality, override)
         safe_filename = sanitize_name((upload.filename or target).rsplit(".", 1)[0])
         ext = os.path.splitext(upload.filename or "")[1] or ".jpg"
@@ -199,7 +203,9 @@ def register(router, ctx):
         fields, files = request.form()
         if len(files) > 20:  # reference face.py:337-444 cap
             raise HTTPError(422, "at most 20 files per batch")
-        min_quality = float(fields.get("min_quality", ctx.cfg.min_face_quality))
+        min_quality = parse_float_param(
+            fields.get("min_quality"), "min_quality", ctx.cfg.min_face_quality
+        )
         override = fields.get("override", "").lower() in ("1", "true", "yes")
         results = []
         for name, upload in files.items():
@@ -210,7 +216,7 @@ def register(router, ctx):
             )
             try:
                 _validate_upload(upload, target)
-                image = decode_image(upload.data)
+                image = await asyncio.to_thread(decode_image, upload.data)
                 res = await asyncio.to_thread(_enroll, image, target, min_quality, override)
                 results.append(res)
             except HTTPError as e:
@@ -309,12 +315,16 @@ def register(router, ctx):
             raise HTTPError(422, "multipart field 'file' is required")
         if upload.size > max_bytes:
             raise HTTPError(413, "file too large")
-        tolerance = float(
-            request.query.get("threshold")  # reference face.py:653 query param
-            or fields.get("tolerance", svc.tolerance)
+        tolerance = parse_float_param(
+            request.query.get("threshold") or fields.get("tolerance"),
+            "threshold", svc.tolerance,  # reference face.py:653 query param
         )
-        top_k = int(request.query.get("top_k") or fields.get("top_k", 5))
-        image = decode_image(upload.data)
+        top_k = parse_int_param(
+            request.query.get("top_k") or fields.get("top_k"), "top_k", 5
+        )
+        # cv2.imdecode of a 10 MB upload stalls the event loop
+        # (and every socket.io heartbeat) if run inline
+        image = await asyncio.to_thread(decode_image, upload.data)
         result = await asyncio.to_thread(svc.compare_image, image, tolerance)
         if not result["success"]:
             raise HTTPError(400, result.get("message", "compare failed"))
@@ -417,7 +427,9 @@ def register(router, ctx):
         upload = files.get("file") or files.get("image")
         if upload is None:
             raise HTTPError(422, "multipart field 'file' is required")
-        image = decode_image(upload.data)
+        # cv2.imdecode of a 10 MB upload stalls the event loop
+        # (and every socket.io heartbeat) if run inline
+        image = await asyncio.to_thread(decode_image, upload.data)
         enc = await asyncio.to_thread(svc.encode_image, image, False)
         if enc["face_count"] == 0:
             return json_response(

@@ -10,7 +10,7 @@ from datetime import datetime
 
 import numpy as np
 
-from frp_tpu.api.http import HTTPError, Request, StreamResponse, json_response
+from frp_tpu.api.http import parse_int_param, HTTPError, Request, StreamResponse, json_response
 from frp_tpu.ops.fedavg import FedAvgError
 
 
@@ -213,8 +213,10 @@ def register(router, ctx):
 
     @router.get("/face/fl/global_model")
     async def global_model(request: Request):
-        version = request.query.get("version")
-        got = fl.get_global_model(int(version) if version else None)
+        version = parse_int_param(
+            request.query.get("version"), "version", 0
+        ) or None
+        got = fl.get_global_model(version)
         if got is None:
             # reference federated.py:714-720: success-with-suggestion, not 404
             return json_response(

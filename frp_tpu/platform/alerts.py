@@ -237,6 +237,13 @@ class AlertService:
         }
 
     # -- retrieval -------------------------------------------------------
+    def history_snapshot(self, limit: int = 10) -> dict:
+        """Per-target alert history, snapshotted under the lock — handlers
+        iterating alert_history lock-free raced generate_alert's first-time
+        key inserts (dict changed size during iteration -> 500)."""
+        with self._lock:
+            return {t: list(dq)[-limit:] for t, dq in self.alert_history.items()}
+
     def get_alerts(
         self,
         target_name: str | None = None,

@@ -68,9 +68,14 @@ class ThumbnailCache:
                 pass
         path = self._path(key)
         try:
+            # the disk tier honors the TTL too: a TTL-free disk read (which
+            # even refreshed mtime) made the first-ever captured frame
+            # permanent — snapshot routes would serve it forever, across
+            # restarts, while claiming Cache-Control: max-age=5
+            if time.time() - os.path.getmtime(path) > self._ttl:
+                return None
             with open(path, "rb") as f:
                 data = f.read()
-            os.utime(path)  # refresh mtime for LRU eviction
             self._mem_put(key, data)
             return data
         except OSError:

@@ -584,3 +584,92 @@ def test_concurrent_mixed_load(server_port):
     # state consistency after the storm
     targets = ctx.face_service.get_all_targets()
     assert {f"stress_{i}" for i in range(4)} <= set(targets)
+
+
+def test_multipart_binary_trailing_newlines_preserved(server_port):
+    """A binary upload whose content ENDS in CR/LF bytes must arrive intact
+    (strip(b'\\r\\n') used to remove every trailing newline byte)."""
+    port, ctx = server_port
+    payload = b"\x00binary-tail\r\n\r\n\n\r\n"  # ends in CRLF soup
+    boundary = "bintest"
+    body = (
+        f'--{boundary}\r\nContent-Disposition: form-data; name="file"; '
+        f'filename="blob.bin"\r\nContent-Type: application/octet-stream\r\n\r\n'
+    ).encode() + payload + f"\r\n--{boundary}--\r\n".encode()
+
+    # parse through the real Request.form()
+    from frp_tpu.api.http import Request
+
+    req = Request(
+        "POST", "/x", {}, {"content-type": f"multipart/form-data; boundary={boundary}"},
+        body,
+    )
+    fields, files = req.form()
+    assert files["file"].data == payload
+
+
+def test_malformed_content_length_is_400(server_port):
+    port, ctx = server_port
+
+    async def go():
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        writer.write(b"GET / HTTP/1.1\r\nHost: x\r\nContent-Length: banana\r\n\r\n")
+        await writer.drain()
+        line = await asyncio.wait_for(reader.readline(), 5)
+        writer.close()
+        return line
+
+    line = asyncio.run(go())
+    assert b"400" in line, line
+
+
+def test_oversized_header_section_431(server_port):
+    port, ctx = server_port
+
+    async def go():
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        writer.write(b"GET / HTTP/1.1\r\nHost: x\r\n")
+        writer.write(b"X-Big: " + b"a" * 70000 + b"\r\n\r\n")
+        await writer.drain()
+        line = await asyncio.wait_for(reader.readline(), 5)
+        writer.close()
+        return line
+
+    line = asyncio.run(go())
+    assert b"431" in line, line
+
+
+def test_concurrent_scans_serialized(server_port):
+    """run_scan holds a thread-level mutex: the background loop and HTTP
+    handlers must never scan concurrently (cv2 reads are not thread-safe
+    and duplicate alerts would fire)."""
+    import threading
+    import time as _time
+
+    port, ctx = server_port
+    active = []
+    overlap = []
+    orig = ctx.engine.process_frames
+
+    def slow_process(*a, **k):
+        active.append(1)
+        if len(active) - len(overlap) > 1:
+            overlap.append(1)
+        _time.sleep(0.05)
+        out = orig(*a, **k)
+        active.pop()
+        return out
+
+    ctx.engine.process_frames = slow_process
+    try:
+        threads = [
+            threading.Thread(target=ctx.run_scan, args=(0.6, 1, 10))
+            for _ in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        ctx.engine.process_frames = orig
+    assert not overlap, "two scans ran concurrently"

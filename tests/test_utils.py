@@ -77,13 +77,17 @@ def test_thumbnail_cache_tiers(tmp_path):
 
 
 def test_thumbnail_cache_ttl(tmp_path):
-    cache = ThumbnailCache(str(tmp_path / "t"), ttl=0.01)
+    cache = ThumbnailCache(str(tmp_path / "t"), ttl=0.05)
     cache.set("k", b"x")
-    time.sleep(0.05)
-    # memory entry expired; disk still has it (disk is quota-bound, not TTL)
-    with cache._lock:
-        pass
+    # within TTL: memory hit, then (after dropping memory) a disk hit
+    assert cache.get("k") == b"x"
+    cache._mem.clear()
     assert cache.get("k") == b"x"  # served from disk, re-promoted
+    time.sleep(0.1)
+    # past TTL the DISK tier must expire too — a TTL-free disk read froze
+    # the first-ever snapshot frame forever (snapshot routes re-capture
+    # only on a cache miss)
+    assert cache.get("k") is None
 
 
 def test_redact_sensitive_nested():
