@@ -150,6 +150,11 @@ def register(router, ctx):
         detections = []
         new_alerts = []
         gallery = ctx.engine.gallery
+        # resolve identities against the names snapshot tied to the gallery
+        # arrays THIS scan matched on (swap-remove reassigns slot indices;
+        # live name_of() could attribute the face to whoever replaced the
+        # removed identity). FakeEngine results carry no snapshot -> live.
+        names_snap = out.get("gallery_names")
         for cam_result in per_camera:
             cam_id = cam_result["camera_id"]
             faces = cam_result["faces"][:max_faces]
@@ -157,7 +162,11 @@ def register(router, ctx):
             for face in faces:
                 if not face["is_match"]:
                     continue
-                target = gallery.name_of(face["best_idx"])
+                bi = face["best_idx"]
+                if names_snap is not None:
+                    target = names_snap[bi] if 0 <= bi < len(names_snap) else None
+                else:
+                    target = gallery.name_of(bi)
                 if target is None:
                     continue
                 distance = face["best_distance"]

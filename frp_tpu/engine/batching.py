@@ -219,13 +219,17 @@ def unmap_results(out: dict, meta: BatchMeta) -> list[dict]:
                 "box": box,
                 "landmarks": ldm,
                 "score": float(out["scores"][i, j]),
-                "embedding": out["embeddings"][i, j],
                 "best_idx": int(out["best_idx"][i, j]),
                 "best_distance": float(out["best_distance"][i, j]),
                 "is_match": bool(out["is_match"][i, j]),
-                "topk_idx": out["topk_idx"][i, j],
-                "topk_distance": out["topk_distance"][i, j],
             }
+            # packed results (engine.submit default / unpack_packed) carry
+            # only the PACKED_LAYOUT columns — embeddings/topk are absent
+            if "embeddings" in out:
+                face["embedding"] = out["embeddings"][i, j]
+            if "topk_idx" in out:
+                face["topk_idx"] = out["topk_idx"][i, j]
+                face["topk_distance"] = out["topk_distance"][i, j]
             if "fake_prob" in out:
                 face["fake_prob"] = float(out["fake_prob"][i, j])
             if "quality" in out:

@@ -34,6 +34,7 @@ class DeviceGallery:
         self._host = np.zeros((self._capacity, embed_dim), np.float32)
         self._valid = np.zeros((self._capacity,), bool)
         self._device = None  # lazily materialized (matrix, valid) jnp pair
+        self._device_names: list[str] = []  # names snapshot tied to _device
         self._version = 0
 
     def __len__(self) -> int:
@@ -167,7 +168,18 @@ class DeviceGallery:
                     jnp.asarray(self._host),
                     jnp.asarray(self._valid),
                 )
+                self._device_names = list(self._names)
             return self._device
+
+    def device_view(self):
+        """(matrix, valid, names) — the names list is POSITIONALLY tied to
+        these exact device arrays. Match indices computed on the device must
+        resolve against this snapshot, not live state: swap-remove reassigns
+        a slot index, so resolving an in-flight best_idx via name_of() could
+        attribute a detection to whoever was swapped into the slot."""
+        with self._lock:
+            mat, valid = self.device_arrays()
+            return mat, valid, self._device_names
 
     def host_arrays(self):
         with self._lock:

@@ -24,9 +24,8 @@ partitions with zero cross-device collectives in the forward pass.
 from __future__ import annotations
 
 import threading
+import time
 from dataclasses import dataclass
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -49,7 +48,6 @@ from frp_tpu.models.mobilenetv3 import init_mobilenetv3_small, mobilenetv3_forwa
 from frp_tpu.models.retinaface import init_retinaface, retinaface_forward
 from frp_tpu.ops.align import (
     ARCFACE_TEMPLATE_112,
-    bbox_crop_matrices,
     similarity_transform,
     warp_crops_batched,
 )
@@ -62,6 +60,9 @@ from frp_tpu.ops.image import (
     yuv420_to_rgb,
 )
 from frp_tpu.ops.matching import gallery_match
+from frp_tpu.utils.logger import get_logger
+
+logger = get_logger("frp.engine")
 from frp_tpu.ops.nms import nms_padded_batched
 from frp_tpu.ops.quality import assess_quality_batch
 
@@ -210,7 +211,6 @@ def build_stages(
     pre_nms_topk: int = 256,
     conf_thresh: float = 0.5,
     nms_thresh: float = 0.4,
-    tolerance: float = 0.6,
     top_k: int = 5,
     with_spoof: bool = True,
     with_quality: bool = True,
@@ -637,12 +637,14 @@ class RecognitionEngine:
     def _run_stages(
         self, frames_dev, tolerance: float, fmt: str = "rgb", packed: bool = False
     ):
-        """Chain the four device-resident stages; returns the device-side
-        result dict (all leaves still on device, fetch with jax.device_get).
+        """Chain the four device-resident stages; returns (device_result,
+        gallery_names) — names are the snapshot positionally tied to the
+        gallery arrays THIS dispatch matched against (resolve best_idx
+        through them, never live state; see DeviceGallery.device_view).
         Sharded variant: when a mesh is set, the frame batch is placed with a
         'data' NamedSharding before dispatch and every stage partitions over
         it automatically (all gathers are frame-local, see build_stages)."""
-        gal, gal_valid = self.gallery.device_arrays()
+        gal, gal_valid, gal_names = self.gallery.device_view()
         if fmt == "yuv420":
             frames_dev = self._stages["ingest"](frames_dev)
         dets = self._stages["detect"](
@@ -662,7 +664,7 @@ class RecognitionEngine:
         if packed:
             # one [B, M, 22] array -> a batch fetch costs exactly ONE host
             # sync through the relay (see pack_stage docstring)
-            return self._stages["pack"](dets, cropped, emb, matched)
+            return self._stages["pack"](dets, cropped, emb, matched), gal_names
         out = {
             "boxes": dets["boxes"],
             "scores": dets["scores"],
@@ -673,7 +675,7 @@ class RecognitionEngine:
             **{k: v for k, v in emb.items() if k != "embeddings_flat"},
             **matched,
         }
-        return out
+        return out, gal_names
 
     # -- main entry ---------------------------------------------------------
     def process_frames(
@@ -681,12 +683,11 @@ class RecognitionEngine:
         frames: np.ndarray,
         tolerance: float | None = None,
         fmt: str = "rgb",
+        record_metrics: bool = True,
     ):
         """frames: [B, H, W, 3] uint8 RGB, or [B, H*3//2, W] uint8 I420 with
         fmt="yuv420" (halves host->device traffic; see ops.image.yuv420_to_rgb).
         Returns host-side result dict of numpy arrays (padded shapes + masks)."""
-        import time
-
         tolerance = self.cfg.face_tolerance if tolerance is None else tolerance
         frames = np.ascontiguousarray(frames, dtype=np.uint8)
         if frames.ndim == 3 and fmt == "rgb":
@@ -694,17 +695,19 @@ class RecognitionEngine:
         b = frames.shape[0]
         t0 = time.perf_counter()
         frames_dev = self._put_frames(frames)
-        out = self._run_stages(frames_dev, tolerance, fmt)
+        out, gal_names = self._run_stages(frames_dev, tolerance, fmt)
         # ONE batched fetch: per-leaf np.asarray costs a full host round-trip
         # per array (measured ~1 s/leaf through the TPU relay vs 0.1 ms for
         # a single device_get of the whole tree)
         out = jax.device_get(out)
+        out["gallery_names"] = gal_names
         dt = time.perf_counter() - t0
-        with self._lock:
-            self.metrics.total_batches += 1
-            self.metrics.total_frames += b
-            self.metrics.total_faces += int(out["count"].sum())
-            self.metrics.total_device_time += dt
+        if record_metrics:
+            with self._lock:
+                self.metrics.total_batches += 1
+                self.metrics.total_frames += b
+                self.metrics.total_faces += int(out["count"].sum())
+                self.metrics.total_device_time += dt
         out["processing_time"] = dt
         return out
 
@@ -746,7 +749,7 @@ class RecognitionEngine:
                     "box": out["boxes"][0, i],
                     "landmarks": out["landmarks"][0, i],
                     "score": float(out["scores"][0, i]),
-                    "quality": float(out.get("quality", np.zeros((1, i + 1)))[0, i]),
+                    "quality": float(out["quality"][0, i]) if "quality" in out else 0.0,
                     "fake_prob": float(out["fake_prob"][0, i])
                     if "fake_prob" in out
                     else None,
@@ -764,7 +767,9 @@ class RecognitionEngine:
         h = h or self.cfg.det_size
         w = w or self.cfg.det_size
         dummy = np.zeros((batch, h, w, 3), np.uint8)
-        self.process_frames(dummy)
+        # compile time (minutes cold) must not pollute the served throughput
+        # counters (reference parity metrics count processing, not tracing)
+        self.process_frames(dummy, record_metrics=False)
 
     # -- async submission (overlaps h2d transfer + compute across batches) ---
     def submit(
@@ -786,17 +791,23 @@ class RecognitionEngine:
         if frames.ndim == 3 and fmt == "rgb":
             frames = frames[None]
         b = frames.shape[0]
-        out = self._run_stages(self._put_frames(frames), tolerance, fmt, packed)
-        return out, b, packed
+        out, gal_names = self._run_stages(
+            self._put_frames(frames), tolerance, fmt, packed
+        )
+        return out, b, packed, gal_names, time.perf_counter()
 
     def fetch(self, handle):
         """Block on a submit() handle and return host-side results."""
-        out, b, packed = handle
+        out, b, packed, gal_names, t_submit = handle
         out = unpack_packed(jax.device_get(out)) if packed else jax.device_get(out)
+        out["gallery_names"] = gal_names
         with self._lock:
             self.metrics.total_batches += 1
             self.metrics.total_frames += b
             self.metrics.total_faces += int(out["count"].sum())
+            # submit->fetch wall time: without it the pipelined path reported
+            # total_frames over ~0 seconds (absurd fps in /metrics outputs)
+            self.metrics.total_device_time += time.perf_counter() - t_submit
         return out
 
     def fetch_many(self, handles: list):
@@ -806,12 +817,15 @@ class RecognitionEngine:
         list of host-side result dicts in submission order."""
         devs = [h[0] for h in handles]
         got = jax.device_get(devs)
+        now = time.perf_counter()
         outs = []
-        for (_, b, packed), g in zip(handles, got):
+        for (_, b, packed, gal_names, t_submit), g in zip(handles, got):
             out = unpack_packed(g) if packed else g
+            out["gallery_names"] = gal_names
             with self._lock:
                 self.metrics.total_batches += 1
                 self.metrics.total_frames += b
                 self.metrics.total_faces += int(out["count"].sum())
+                self.metrics.total_device_time += max(0.0, now - t_submit)
             outs.append(out)
         return outs

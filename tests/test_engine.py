@@ -80,7 +80,7 @@ def test_fused_equals_staged(engine):
     fused = jax.jit(build_pipeline(**kw))(
         engine.params, jnp.asarray(frames), *engine.gallery.device_arrays(), priors
     )
-    staged = engine._run_stages(jnp.asarray(frames), 0.6)
+    staged, _names = engine._run_stages(jnp.asarray(frames), 0.6)
     fused, staged = jax.device_get((fused, staged))
     np.testing.assert_array_equal(fused["valid"], staged["valid"])
     np.testing.assert_allclose(fused["boxes"], staged["boxes"], rtol=1e-4, atol=1e-3)
@@ -371,3 +371,32 @@ def test_encode_image_canonical_geometry_and_remap(engine):
         np.asarray(faces[0]["embedding"]) - np.asarray(raw[0]["embedding"])
     )
     assert d < 0.2, d
+
+
+def test_gallery_snapshot_resolves_removed_identity(engine):
+    """Match results must resolve identities against the names snapshot tied
+    to the dispatched gallery arrays: a concurrent swap-remove reassigns the
+    slot index, and live name_of() would blame whoever got swapped in."""
+    from frp_tpu.train.synthetic import make_scene
+
+    img, _, _, _ = make_scene(DET, np.random.default_rng(5), max_faces=1)
+    out0 = engine.process_frames(img[None])
+    if not out0["valid"].any():
+        pytest.skip("no detection at this size")
+    i, j = np.argwhere(out0["valid"])[0]
+    emb = out0["embeddings"][i, j]
+    engine.gallery.clear()
+    engine.gallery.add("alice", emb)
+    engine.gallery.add("bob", np.roll(emb, 3))
+    engine.gallery.add("carol", np.roll(emb, 7))
+
+    out = engine.process_frames(img[None])
+    names_snap = out["gallery_names"]
+    bi = int(out["best_idx"][i, j])
+    assert names_snap[bi] == "alice"
+    # now alice is removed and carol swaps into her slot
+    engine.gallery.remove("alice")
+    assert engine.gallery.name_of(bi) == "carol"  # the live-state trap
+    # the snapshot still resolves the in-flight result correctly
+    assert names_snap[bi] == "alice"
+    engine.gallery.clear()
