@@ -10,9 +10,7 @@ shortcut — all NHWC pure functions over param pytrees, bf16-friendly.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from frp_tpu.models import nn
 
@@ -87,13 +85,12 @@ def iresnet_forward(params: dict, x: jnp.ndarray, normalize: bool = True) -> jnp
         for b, block in enumerate(stage):
             y = _block(block, y, 2 if b == 0 else 1)
     y = nn.batch_norm(params["head_bn"], y)
-    y = y.reshape(y.shape[0], -1)
+    # flatten in torch NCHW order (c, h, w): real iresnet checkpoints'
+    # fc weights index inputs that way — an NHWC flatten would silently
+    # permute every fc input for imported weights (shapes match either way)
+    y = jnp.transpose(y, (0, 3, 1, 2)).reshape(y.shape[0], -1)
     emb = nn.dense(params["fc"], y).astype(jnp.float32)
-    # feature BN (1D): fold running stats
-    p = params["feat_bn"]
-    emb = (emb - p["mean"]) * jax.lax.rsqrt(p["var"] + 1e-5) * p["gamma"] + p["beta"]
+    emb = nn.batch_norm(params["feat_bn"], emb)  # 1-D feature BN
     if normalize:
-        emb = emb * jax.lax.rsqrt(
-            jnp.maximum(jnp.sum(emb * emb, axis=-1, keepdims=True), 1e-12)
-        )
+        emb = nn.l2_normalize(emb)
     return emb

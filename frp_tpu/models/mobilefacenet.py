@@ -20,7 +20,6 @@ this size. The same forward serves inference (BN folded) and training
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from frp_tpu.models import nn
@@ -133,7 +132,5 @@ def mobilefacenet_forward(
     y = bn(params["embed"], y, ("embed",))
     emb = y.reshape(y.shape[0], -1).astype(jnp.float32)
     if normalize:
-        emb = emb * jax.lax.rsqrt(
-            jnp.maximum(jnp.sum(emb * emb, axis=-1, keepdims=True), 1e-12)
-        )
+        emb = nn.l2_normalize(emb)
     return (emb, stats) if train else emb

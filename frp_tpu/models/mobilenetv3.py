@@ -13,7 +13,6 @@ or hard-swish (HS).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from frp_tpu.models import nn
@@ -37,13 +36,16 @@ _HIDDEN = 1024
 
 
 def _block_init(rng, cin, k, exp, cout, use_se):
+    # dict INSERTION ORDER is the structural importer's traversal order:
+    # torchvision InvertedResidual orders SE before the project conv, so we
+    # must too or real mobilenet_v3_small checkpoints mis-align
     p = {
         "expand": nn.conv_bn_init(rng, 1, 1, cin, exp) if exp != cin else None,
         "dw": nn.conv_bn_init(rng, k, k, exp, exp, groups=exp),
-        "project": nn.conv_bn_init(rng, 1, 1, exp, cout),
     }
     if use_se:
         p["se"] = nn.se_init(rng, exp)
+    p["project"] = nn.conv_bn_init(rng, 1, 1, exp, cout)
     return p
 
 

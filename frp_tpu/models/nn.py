@@ -66,13 +66,44 @@ def dense_init(rng, cin, cout) -> dict:
 # apply helpers
 # ---------------------------------------------------------------------------
 
+import os as _os
+
+# "same" (XLA asymmetric) | "torch" (symmetric k//2) — see set_padding_mode
+_PADDING_MODE = _os.getenv("CONV_PADDING", "same")
+
+
+def set_padding_mode(mode: str) -> None:
+    """Global conv padding semantics, set ONCE before building jitted fns.
+
+    "same": XLA SAME — on stride-2 even inputs pads (0,1), the convention
+    the in-repo-trained weights use. "torch": symmetric k//2 padding like
+    torch Conv2d(padding=k//2) — REQUIRED for imported torch/ONNX
+    checkpoints, whose stride-2 layers otherwise compute on a grid shifted
+    one pixel from the one they were trained on (set CONV_PADDING=torch)."""
+    global _PADDING_MODE
+    assert mode in ("same", "torch"), mode
+    _PADDING_MODE = mode
+
+
+def make_divisible(v: int, divisor: int = 8) -> int:
+    """torchvision _make_divisible: round to the nearest multiple, never
+    dropping below 90% of the original value."""
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
 def conv(p: dict, x: jnp.ndarray, stride: int = 1, padding="SAME", groups: int = 1) -> jnp.ndarray:
     # Output follows the input dtype. The TPU MXU accumulates bf16 x bf16 in
     # f32 internally regardless; requesting preferred_element_type=f32 and
     # down-casting breaks lax's conv transpose rule under autodiff (cotangent
     # dtype mismatch), so we keep the conv dtype-uniform.
     w = p["w"].astype(x.dtype)
-    return lax.conv_general_dilated(
+    if padding == "SAME" and _PADDING_MODE == "torch":
+        kh, kw = w.shape[0], w.shape[1]
+        padding = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+    out = lax.conv_general_dilated(
         x,
         w,
         window_strides=(stride, stride),
@@ -80,6 +111,9 @@ def conv(p: dict, x: jnp.ndarray, stride: int = 1, padding="SAME", groups: int =
         feature_group_count=groups,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+    if "b" in p:  # imported torch convs may carry a bias (no BN follows)
+        out = out + p["b"].astype(out.dtype)
+    return out
 
 
 def batch_norm(p: dict, x: jnp.ndarray, train: bool = False, momentum: float = 0.9, eps: float = 1e-5):
@@ -144,7 +178,9 @@ def conv_bn(p: dict, x, stride=1, groups=1, act=None, padding="SAME"):
 
 
 def se_init(rng, c: int, reduction: int = 4) -> dict:
-    hidden = max(8, c // reduction)
+    # torchvision SqueezeExcitation width (_make_divisible(c//4, 8)) so a
+    # real mobilenet_v3_small checkpoint imports with matching shapes
+    hidden = make_divisible(c // reduction, 8)
     return {"fc1": dense_init(rng, c, hidden), "fc2": dense_init(rng, hidden, c)}
 
 
@@ -153,6 +189,12 @@ def se_block(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     s = relu(dense(p["fc1"], s))
     s = hsigmoid(dense(p["fc2"], s))
     return x * s[:, None, None, :]
+
+
+def l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Unit-norm along the last axis — THE normalizer both embedder
+    families share (matching distance = sqrt(2-2cos) depends on it)."""
+    return x * lax.rsqrt(jnp.maximum(jnp.sum(x * x, axis=-1, keepdims=True), eps))
 
 
 def upsample2x(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:

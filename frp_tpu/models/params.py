@@ -61,6 +61,9 @@ def _listify(node):
 
 def save_params(path: str, params) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    # ONE device fetch for the whole tree: per-leaf np.asarray in _flatten
+    # costs ~1 s/leaf through the serving relay (CLAUDE.md gotcha 4)
+    params = jax.device_get(params)
     flat = _flatten(params)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:  # file handle: savez won't append .npz
@@ -164,7 +167,12 @@ def _group_torch_modules(state: dict) -> list:
                         "mean": g["running_mean"], "var": g["running_var"]}, prefix)
             )
         elif "weight" in g and g["weight"].ndim == 4:
-            units.append(("conv", {"w": g["weight"]}, prefix))
+            unit = {"w": g["weight"]}
+            if "bias" in g:
+                # keep the bias: silently dropping it shifted every output
+                # of biased convs (torch Conv2d default) with no diagnostic
+                unit["b"] = g["bias"]
+            units.append(("conv", unit, prefix))
         elif "weight" in g and g["weight"].ndim == 2:
             w = g["weight"].T  # torch Linear stores [out, in]
             units.append(("dense", {"w": w, "b": g.get("bias", np.zeros(w.shape[1]))}, prefix))
@@ -340,11 +348,26 @@ def import_torch_weights(params, state_dict: dict) -> int:
         )
     copied = 0
     for (kind_a, node, path), (kind_b, values, prefix) in zip(ours, theirs):
+        if kind_a == "dense" and kind_b == "conv":
+            w = values["w"]
+            # a 1x1 conv on pooled features IS a dense layer (torchvision
+            # SqueezeExcitation uses Conv2d where we use dense): coerce
+            # HWIO [1, 1, i, o] -> [i, o]
+            if w.ndim == 4 and w.shape[0] == w.shape[1] == 1:
+                values = dict(values)
+                values["w"] = w.reshape(w.shape[2], w.shape[3])
+                kind_b = "dense"
         if kind_a != kind_b:
             raise ValueError(
                 f"module-kind mismatch at {path} ({kind_a}) vs {prefix} ({kind_b})"
             )
         for key, arr in values.items():
+            if key not in node:
+                raise ValueError(
+                    f"torch module {prefix} carries '{key}' but our unit "
+                    f"{path} has no such slot (e.g. a biased conv mapping "
+                    f"onto a bias-free conv+bn unit)"
+                )
             if tuple(np.shape(node[key])) != tuple(arr.shape):
                 raise ValueError(
                     f"shape mismatch at {path}{key}: ours {np.shape(node[key])} "

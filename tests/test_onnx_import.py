@@ -212,3 +212,70 @@ def test_user_onnx_outranks_shipped_npz(tmp_path):
     shim = types.SimpleNamespace(cfg=types.SimpleNamespace(weights_dir=str(tmp_path)))
     loaded = RecognitionEngine._load_weights(shim, {"spoof": params}, "mobilefacenet")
     assert loaded["spoof"] and loaded["spoof"].endswith("spoof.onnx")
+
+
+def test_torchvision_se_compatibility():
+    """mobilenet_v3_small import compatibility: SE hidden widths follow
+    torchvision's _make_divisible(exp//4, 8), the param-dict order puts SE
+    before project (torchvision module order), and a torch-style 1x1-conv SE
+    weight coerces onto our dense unit."""
+    from frp_tpu.models import nn
+    from frp_tpu.models.mobilenetv3 import _SPEC, init_mobilenetv3_small
+    from frp_tpu.models.params import _collect_units, import_torch_weights
+
+    # widths
+    assert nn.make_divisible(240 // 4, 8) == 64
+    assert nn.make_divisible(120 // 4, 8) == 32
+    assert nn.make_divisible(144 // 4, 8) == 40
+    params = init_mobilenetv3_small(0)
+    for block, (k, exp, cout, use_se, _, _) in zip(params["blocks"], _SPEC):
+        if use_se:
+            assert block["se"]["fc1"]["w"].shape[1] == nn.make_divisible(exp // 4, 8)
+            # order: se unit walks BEFORE project
+            keys = [k2 for k2 in block if block[k2] is not None]
+            assert keys.index("se") < keys.index("project")
+
+    # dense <- 1x1 conv coercion: export our params with SE as 4-d conv
+    # weights (as torchvision would) and re-import
+    units = _collect_units(params)
+    state = {}
+    for idx, (kind, node, path) in enumerate(units):
+        base = f"m{idx:03d}"
+        if kind == "conv":
+            state[f"{base}.weight"] = np.asarray(node["w"])
+        elif kind == "bn":
+            state[f"{base}.weight"] = np.asarray(node["gamma"])
+            state[f"{base}.bias"] = np.asarray(node["beta"])
+            state[f"{base}.running_mean"] = np.asarray(node["mean"])
+            state[f"{base}.running_var"] = np.asarray(node["var"])
+        elif kind == "dense" and "se" in path:
+            w = np.asarray(node["w"])  # [i, o] -> HWIO [1, 1, i, o] conv
+            state[f"{base}.weight"] = w[None, None]
+            state[f"{base}.bias"] = np.asarray(node["b"])
+        elif kind == "dense":
+            state[f"{base}.weight"] = np.asarray(node["w"]).T
+            state[f"{base}.bias"] = np.asarray(node["b"])
+        elif kind == "prelu":
+            state[f"{base}.weight"] = np.asarray(node["alpha"])
+    fresh = init_mobilenetv3_small(1)
+    copied = import_torch_weights(fresh, state)
+    assert copied > 0
+    np.testing.assert_allclose(
+        fresh["blocks"][0]["se"]["fc1"]["w"], params["blocks"][0]["se"]["fc1"]["w"]
+    )
+
+
+def test_biased_conv_import_is_loud():
+    """A torch checkpoint with biased convs mapping onto our bias-free
+    conv+bn units must raise a descriptive error, not silently drop biases."""
+    from frp_tpu.models import nn
+    from frp_tpu.models.params import import_torch_weights
+
+    ours = {"stem": nn.conv_init(np.random.default_rng(0), 3, 3, 3, 8)}
+    state = {
+        "stem.weight": np.zeros((3, 3, 3, 8), np.float32),
+        "stem.bias": np.zeros((8,), np.float32),
+    }
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bias"):
+        import_torch_weights(ours, state)
