@@ -41,15 +41,33 @@ def arcface_logits(
     labels: jnp.ndarray,
     margin: float = 0.5,
     scale: float = 64.0,
+    num_real_classes: int | None = None,
 ) -> jnp.ndarray:
-    """emb [B, D] (normalized), w [D, C] -> margined, scaled logits [B, C]."""
+    """emb [B, D] (normalized), w [D, C] -> margined, scaled logits [B, C].
+
+    ``num_real_classes`` < C marks the trailing columns as PADDING (the
+    classifier is padded so C divides the mesh model axis) — their logits
+    are driven to -inf so they never attract probability mass or gradient.
+    """
     wn = w * jax.lax.rsqrt(jnp.maximum(jnp.sum(w * w, axis=0, keepdims=True), 1e-12))
     cos = jnp.clip(
         jnp.dot(emb, wn, preferred_element_type=jnp.float32), -1.0 + 1e-7, 1.0 - 1e-7
     )
     theta = jnp.arccos(cos)
     onehot = jax.nn.one_hot(labels, w.shape[1], dtype=cos.dtype)
-    return scale * jnp.cos(theta + margin * onehot)
+    target = jnp.cos(theta + margin)
+    # easy-margin guard: past theta = pi - m, cos(theta+m) INCREASES with
+    # theta and the gradient would push hard samples further away; fall back
+    # to the standard linear penalty there (cos - m*sin(m))
+    import math
+
+    guard = cos > math.cos(math.pi - margin)
+    target = jnp.where(guard, target, cos - margin * math.sin(margin))
+    out = scale * (onehot * target + (1.0 - onehot) * cos)
+    if num_real_classes is not None and num_real_classes < w.shape[1]:
+        col = jnp.arange(w.shape[1])
+        out = jnp.where(col[None, :] < num_real_classes, out, -1e9)
+    return out
 
 
 def init_train_state(
@@ -79,13 +97,6 @@ def init_train_state(
 def _apply_bn_updates(backbone: dict, stats: dict) -> dict:
     """Write train-mode BN stats back into the param tree (pure update)."""
     new = jax.tree_util.tree_map(lambda x: x, backbone)  # shallow-ish copy
-
-    def set_path(root, path, value):
-        node = root
-        for key in path[:-1]:
-            node = node[key]
-        node[path[-1]] = value
-
     for path, update in stats.items():
         # paths like ("blocks", 3, "dw") or ("stem",) index conv_bn dicts
         node = new
@@ -101,20 +112,27 @@ def make_train_step(
     margin: float = 0.5,
     scale: float = 64.0,
     compute_dtype: str = "bfloat16",
+    num_real_classes: int | None = None,
 ):
     """Build the jitted train step. With a mesh, shards: batch over 'data',
-    classifier over 'model'; everything else replicated."""
+    classifier over 'model'; everything else replicated (except the
+    classifier's optimizer trace, which shards WITH the classifier)."""
 
     def loss_fn(params, images, labels):
         # uint8 batches normalize ON DEVICE: the host->device link is the
         # training bottleneck exactly as in serving (CLAUDE.md gotcha 8b) —
         # shipping uint8 instead of f32 cuts the per-step upload 4x
         if images.dtype == jnp.uint8:
-            images = images.astype(jnp.dtype(compute_dtype)) / 127.5 - 1.0
+            # SAME convention as serving (ops.image.normalize_face):
+            # (x - 127.5) / 128 — /127.5 skewed train vs inference inputs
+            images = (images.astype(jnp.dtype(compute_dtype)) - 127.5) / 128.0
         emb, bn_stats = mobilefacenet_forward(
             params["backbone"], images.astype(jnp.dtype(compute_dtype)), train=True
         )
-        logits = arcface_logits(emb, params["classifier"], labels, margin, scale)
+        logits = arcface_logits(
+            emb, params["classifier"], labels, margin, scale,
+            num_real_classes=num_real_classes,
+        )
         loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
         acc = jnp.mean((jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32))
         return loss, (acc, bn_stats)
@@ -152,10 +170,19 @@ def make_train_step(
         return jax.tree_util.tree_map_with_path(leaf_sharding, tree_proto)
 
     def state_shardings(state_proto):
+        def opt_leaf(path, leaf):
+            # optax traces mirror the param tree: the classifier momentum
+            # ([D, C], the one tensor that grows with identity count) must
+            # shard WITH the classifier or every device replicates it and
+            # the design OOMs exactly at the scale sharding exists for
+            if any(getattr(k, "key", None) == "classifier" for k in path):
+                return cls_sharding
+            return repl
+
         return {
             "params": shard_tree(state_proto["params"]),
-            "opt_state": jax.tree_util.tree_map(
-                lambda _: repl, state_proto["opt_state"]
+            "opt_state": jax.tree_util.tree_map_with_path(
+                opt_leaf, state_proto["opt_state"]
             ),
             "step": repl,
         }
@@ -188,27 +215,45 @@ class ArcFaceTrainer:
         compute_dtype: str = "bfloat16",
     ):
         self.mesh = mesh
-        state, self.tx = init_train_state(
-            num_classes, embed_dim, seed, learning_rate
-        )
+        self.num_classes = num_classes
+        # the classifier's class axis must divide the mesh 'model' axis —
+        # identity counts are arbitrary, so PAD the columns up and mask the
+        # pad classes out of the loss (arcface_logits num_real_classes)
+        n_model = int(mesh.shape[MODEL_AXIS]) if mesh is not None else 1
+        padded = -(-num_classes // n_model) * n_model
+        state, self.tx = init_train_state(padded, embed_dim, seed, learning_rate)
         self._initial_backbone = jax.tree_util.tree_map(
             np.copy, state["params"]["backbone"]
         )
         if mesh is None:
             self.state = jax.device_put(state)
-            self._step = make_train_step(self.tx, None, compute_dtype=compute_dtype)
+            self._step = make_train_step(
+                self.tx, None, compute_dtype=compute_dtype,
+                num_real_classes=num_classes if padded != num_classes else None,
+            )
         else:
-            maker = make_train_step(self.tx, mesh, compute_dtype=compute_dtype)
+            maker = make_train_step(
+                self.tx, mesh, compute_dtype=compute_dtype,
+                num_real_classes=num_classes if padded != num_classes else None,
+            )
             self._step = maker(state)
             repl = NamedSharding(mesh, P())
-            cls_sh = NamedSharding(mesh, P(None, "model"))
+            cls_sh = NamedSharding(mesh, P(None, MODEL_AXIS))
+
+            def place_opt(path, leaf):
+                if any(getattr(k, "key", None) == "classifier" for k in path):
+                    return jax.device_put(leaf, cls_sh)
+                return jax.device_put(leaf, repl)
+
             placed_params = {
                 "backbone": jax.device_put(state["params"]["backbone"], repl),
                 "classifier": jax.device_put(state["params"]["classifier"], cls_sh),
             }
             self.state = {
                 "params": placed_params,
-                "opt_state": jax.device_put(state["opt_state"], repl),
+                "opt_state": jax.tree_util.tree_map_with_path(
+                    place_opt, state["opt_state"]
+                ),
                 "step": jax.device_put(state["step"], repl),
             }
         self.history: list[dict] = []
@@ -238,9 +283,12 @@ class ArcFaceTrainer:
             self._pending.append(metrics)
             return None
         self.flush_metrics()  # keep history ordered if sync/async were mixed
-        metrics = jax.device_get(metrics)
-        entry = {k: float(v) for k, v in metrics.items()}
-        entry["step"] = int(jax.device_get(self.state["step"]))
+        # ONE batched fetch for metrics + step (a second device_get costs
+        # another ~29 ms relay sync); the device counter stays the source of
+        # truth so checkpoint resume keeps counting correctly
+        got_metrics, got_step = jax.device_get((metrics, self.state["step"]))
+        entry = {k: float(v) for k, v in got_metrics.items()}
+        entry["step"] = int(got_step)
         self.history.append(entry)
         return entry
 

@@ -34,6 +34,14 @@ def save_checkpoint(path: str, state: dict) -> str:
         logger.info("orbax save unavailable (%s); using npz", e)
     # structure-agnostic fallback: save leaves by index; restore requires a
     # structurally-identical `like` state (always available on resume)
+    target = os.path.abspath(path)
+    if os.path.isdir(target):
+        # a STALE orbax dir from an earlier successful save would shadow
+        # this npz on restore (load prefers the dir) — training would
+        # silently resume from the old step
+        import shutil
+
+        shutil.rmtree(target, ignore_errors=True)
     leaves = jax.tree_util.tree_leaves(host_state)
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     tmp = path + ".npz.tmp"

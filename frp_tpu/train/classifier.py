@@ -84,8 +84,11 @@ class SpoofTrainer:
             put(np.asarray(images, np.float32)),
             put(np.asarray(labels, np.int32)),
         )
-        entry = {k: float(v) for k, v in jax.device_get(metrics).items()}
-        entry["step"] = int(jax.device_get(self.state["step"]))
+        # ONE fetch per step (CLAUDE.md gotcha 4): metrics and the step
+        # counter together instead of two ~29 ms relay syncs
+        got_metrics, got_step = jax.device_get((metrics, self.state["step"]))
+        entry = {k: float(v) for k, v in got_metrics.items()}
+        entry["step"] = int(got_step)
         self.history.append(entry)
         return entry
 

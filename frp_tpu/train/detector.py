@@ -22,7 +22,6 @@ from frp_tpu.parallel.mesh import DATA_AXIS
 
 def make_detector_train_step(
     tx,
-    det_size: int,
     mesh: Mesh | None = None,
     compute_dtype: str = "bfloat16",
     pos_thresh: float = 0.35,
@@ -95,7 +94,7 @@ class DetectorTrainer:
             "step": np.int32(0),
         }
         maker = make_detector_train_step(
-            self.tx, det_size, mesh, compute_dtype=compute_dtype
+            self.tx, mesh, compute_dtype=compute_dtype
         )
         if mesh is None:
             self.state = jax.device_put(state)
@@ -122,8 +121,11 @@ class DetectorTrainer:
             put(np.asarray(gt_valid, bool)),
             self.priors,
         )
-        entry = {k: float(v) for k, v in jax.device_get(metrics).items()}
-        entry["step"] = int(jax.device_get(self.state["step"]))
+        # ONE fetch per step (CLAUDE.md gotcha 4): metrics and the step
+        # counter together instead of two ~29 ms relay syncs
+        got_metrics, got_step = jax.device_get((metrics, self.state["step"]))
+        entry = {k: float(v) for k, v in got_metrics.items()}
+        entry["step"] = int(got_step)
         self.history.append(entry)
         return entry
 

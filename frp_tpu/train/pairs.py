@@ -56,7 +56,6 @@ def embed_crops(
     import jax
 
     from frp_tpu.models.mobilefacenet import mobilefacenet_forward
-    from frp_tpu.ops.image import normalize_face
 
     scale = 1.0
     if params is None:
@@ -70,8 +69,13 @@ def embed_crops(
     fwd = jax.jit(mobilefacenet_forward)
     outs = []
     for i in range(0, len(crops), batch):
-        x = np.asarray(normalize_face(crops[i : i + batch]))
-        outs.append(np.asarray(fwd(params, x)) * scale)
+        # normalize on HOST numpy (trivial math) and keep per-batch results
+        # on device: the old eager jnp normalize + per-batch np.asarray paid
+        # TWO ~1 s relay syncs per batch in a degraded TPU process
+        # (CLAUDE.md gotchas 4 and 7)
+        x = (crops[i : i + batch].astype(np.float32) - 127.5) / 128.0
+        outs.append(fwd(params, x))
+    outs = [np.asarray(o) * scale for o in jax.device_get(outs)]
     return np.concatenate(outs)
 
 
@@ -193,6 +197,11 @@ def eer_sweep(same: np.ndarray, diff: np.ndarray, points: int = 801):
 
 def threshold_metrics(same: np.ndarray, diff: np.ndarray, thresholds=(0.4, 0.6)):
     """TPR/FPR at the reference thresholds + AUC + EER for the pair set."""
+    if len(same) == 0 or len(diff) == 0:
+        raise ValueError(
+            f"need both pair populations (same={len(same)}, diff={len(diff)}): "
+            "the detector found too few faces/identities to form pairs"
+        )
     out = {"n_same": int(len(same)), "n_diff": int(len(diff))}
     for t in thresholds:
         out[f"tpr@{t}"] = float(np.mean(same <= t))

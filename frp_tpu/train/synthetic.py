@@ -164,6 +164,17 @@ def _resize_bilinear(img: np.ndarray, size: int) -> np.ndarray:
 
         return cv2.resize(img, (size, size), interpolation=cv2.INTER_AREA)
     except ImportError:
-        yi = np.linspace(0, img.shape[0] - 1, size).astype(np.int64)
-        xi = np.linspace(0, img.shape[1] - 1, size).astype(np.int64)
-        return img[yi][:, xi]
+        # real 2x2 box average, not nearest subsampling: the downsample's
+        # SOFTNESS is the augmentation signal (a detector trained on crisp
+        # renders scores ~0.007 on resampled frames) — nearest picks crisp
+        # pixels and silently turns the augmentation into a no-op
+        yi = np.clip(np.linspace(0, img.shape[0] - 2, size), 0, None)
+        xi = np.clip(np.linspace(0, img.shape[1] - 2, size), 0, None)
+        y0, x0 = yi.astype(np.int64), xi.astype(np.int64)
+        acc = (
+            img[y0][:, x0].astype(np.float32)
+            + img[y0 + 1][:, x0]
+            + img[y0][:, x0 + 1]
+            + img[y0 + 1][:, x0 + 1]
+        )
+        return (acc / 4.0).astype(img.dtype)

@@ -154,7 +154,7 @@ def test_train_step_uint8_and_deferred_metrics():
 
     rng = np.random.default_rng(0)
     images_u8 = rng.integers(0, 255, (8, 112, 112, 3)).astype(np.uint8)
-    images_f32 = images_u8.astype(np.float32) / 127.5 - 1.0
+    images_f32 = (images_u8.astype(np.float32) - 127.5) / 128.0  # serving convention
     labels = rng.integers(0, 16, (8,)).astype(np.int32)
 
     a = ArcFaceTrainer(num_classes=16, seed=3)
@@ -171,3 +171,64 @@ def test_train_step_uint8_and_deferred_metrics():
     for _ in range(2):
         b.train_step(images_u8, labels, sync=False)
     assert len(b.flush_metrics()) == 2 and len(b.history) == 3
+
+
+def test_trainer_pads_classes_to_model_axis():
+    """num_classes need not divide the mesh 'model' axis: the classifier is
+    padded up and pad columns are masked out of the loss (previously a
+    ValueError at device placement for e.g. 62 identities on model=4)."""
+    import numpy as np
+
+    from frp_tpu.parallel.mesh import make_mesh
+    from frp_tpu.train.arcface import ArcFaceTrainer
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    t = ArcFaceTrainer(num_classes=62, mesh=mesh, seed=0)
+    assert t.state["params"]["classifier"].shape[1] == 64  # padded
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (8, 112, 112, 3)).astype(np.uint8)
+    labels = rng.integers(0, 62, (8,)).astype(np.int32)
+    m = t.train_step(images, labels)
+    assert np.isfinite(m["loss"])
+    # the classifier momentum shards with the classifier (no full replication)
+    import jax
+
+    def find_cls(path, leaf):
+        if any(getattr(k, "key", None) == "classifier" for k in path):
+            found.append(leaf)
+        return leaf
+
+    found = []
+    jax.tree_util.tree_map_with_path(find_cls, t.state["opt_state"])
+    assert found, "no classifier leaf in opt state"
+    for leaf in found:
+        if hasattr(leaf, "sharding"):
+            assert "model" in str(leaf.sharding.spec), leaf.sharding
+
+
+def test_stale_orbax_dir_removed_on_npz_fallback(tmp_path, monkeypatch):
+    """If a later save falls back to npz, the earlier orbax dir must not
+    shadow it on restore (silently resuming from the OLD step)."""
+    import numpy as np
+
+    from frp_tpu.train import checkpoint as cp
+
+    state1 = {"step": np.int32(1), "w": np.ones(3, np.float32)}
+    state2 = {"step": np.int32(2), "w": np.full(3, 2.0, np.float32)}
+    path = str(tmp_path / "ck")
+    first = cp.save_checkpoint(path, state1)
+    # force the npz fallback for the second save
+    import builtins
+    real_import = builtins.__import__
+
+    def no_orbax(name, *a, **k):
+        if name.startswith("orbax"):
+            raise ImportError("forced")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_orbax)
+    assert cp.save_checkpoint(path, state2) == "npz"
+    monkeypatch.setattr(builtins, "__import__", real_import)
+    restored = cp.load_checkpoint(path, like=state1)
+    assert restored is not None
+    assert int(np.asarray(restored["step"])) == 2, "stale checkpoint shadowed"
