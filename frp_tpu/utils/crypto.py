@@ -39,7 +39,14 @@ class EmbeddingCipher:
             with open(path, "rb") as f:
                 return f.read().strip()
         key = Fernet.generate_key()
-        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o600)
+        try:
+            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o600)
+        except FileExistsError:
+            # another process won the O_EXCL race between our exists-check
+            # and the open (server + bench starting together): use ITS key —
+            # crashing here aborted Context construction entirely
+            with open(path, "rb") as f:
+                return f.read().strip()
         with os.fdopen(fd, "wb") as f:
             f.write(key)
         return key

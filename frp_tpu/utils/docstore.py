@@ -20,8 +20,20 @@ from __future__ import annotations
 import json
 import os
 import threading
+import copy
 import uuid
 from typing import Any, Iterable
+
+
+def _sort_key(v):
+    """Total order over mixed/missing values (Mongo sorts by type; one doc
+    missing the sort field must not TypeError the whole query): None first,
+    then numbers, then everything else by string form."""
+    if v is None:
+        return (0, 0.0, "")
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        return (2, 0.0, str(v))
+    return (1, float(v), "")
 
 
 def _matches(doc: dict, query: dict) -> bool:
@@ -81,53 +93,71 @@ class Collection:
             with open(self._path, "r") as f:
                 for line in f:
                     line = line.strip()
-                    if line:
+                    if not line:
+                        continue
+                    try:
                         doc = json.loads(line)
                         self._docs[doc["_id"]] = doc
-        except (OSError, json.JSONDecodeError, KeyError):
+                    except (json.JSONDecodeError, KeyError, TypeError):
+                        continue  # skip a torn/corrupt line, keep the rest
+        except OSError:
             self._docs = {}
 
     def _flush(self):
         if not self._path:
             return
-        tmp = self._path + ".tmp"
+        tmp = f"{self._path}.{os.getpid()}.tmp"
         os.makedirs(os.path.dirname(self._path) or ".", exist_ok=True)
         with open(tmp, "w") as f:
             for doc in self._docs.values():
                 f.write(json.dumps(doc, default=str) + "\n")
         os.replace(tmp, self._path)
 
+    def _append(self, docs: list):
+        """JSONL append for inserts: _flush rewrites the WHOLE collection
+        per write — quadratic over time for the unbounded hot-path
+        'tracking' collection (each scan-loop detection rewrote every doc
+        ever stored, under the lock). Updates/deletes still _flush."""
+        if not self._path:
+            return
+        os.makedirs(os.path.dirname(self._path) or ".", exist_ok=True)
+        with open(self._path, "a") as f:
+            for doc in docs:
+                f.write(json.dumps(doc, default=str) + "\n")
+
     # -- pymongo surface ------------------------------------------------------
     def insert_one(self, doc: dict):
         with self._lock:
-            doc = dict(doc)
+            doc = copy.deepcopy(dict(doc))  # no aliasing with caller state
             doc.setdefault("_id", uuid.uuid4().hex)
             self._docs[doc["_id"]] = doc
-            self._flush()
+            self._append([doc])
             return _Result(inserted_id=doc["_id"], acknowledged=True)
 
     def insert_many(self, docs: Iterable[dict]):
         ids = []
+        added = []
         with self._lock:
             for doc in docs:
-                doc = dict(doc)
+                doc = copy.deepcopy(dict(doc))
                 doc.setdefault("_id", uuid.uuid4().hex)
                 self._docs[doc["_id"]] = doc
                 ids.append(doc["_id"])
-            self._flush()
+                added.append(doc)
+            self._append(added)
         return _Result(inserted_ids=ids, acknowledged=True)
 
     def find_one(self, query: dict | None = None, projection=None):
         with self._lock:
             for doc in self._docs.values():
                 if _matches(doc, query or {}):
-                    return self._project(dict(doc), projection)
+                    return self._project(copy.deepcopy(doc), projection)
         return None
 
     def find(self, query: dict | None = None, projection=None):
         with self._lock:
             docs = [
-                self._project(dict(d), projection)
+                self._project(copy.deepcopy(d), projection)
                 for d in self._docs.values()
                 if _matches(d, query or {})
             ]
@@ -238,7 +268,10 @@ class Collection:
                 docs = [d for d in docs if _matches(d, stage["$match"])]
             elif "$sort" in stage:
                 for key, direction in reversed(list(stage["$sort"].items())):
-                    docs.sort(key=lambda d: d.get(key), reverse=direction < 0)
+                    docs.sort(
+                        key=lambda d: _sort_key(d.get(key)),
+                        reverse=direction < 0,
+                    )
             elif "$limit" in stage:
                 docs = docs[: stage["$limit"]]
             else:
@@ -253,9 +286,13 @@ class Cursor:
     def sort(self, key, direction: int = 1):
         if isinstance(key, list):
             for k, d in reversed(key):
-                self._docs.sort(key=lambda doc: doc.get(k), reverse=d < 0)
+                self._docs.sort(
+                    key=lambda doc: _sort_key(doc.get(k)), reverse=d < 0
+                )
         else:
-            self._docs.sort(key=lambda doc: doc.get(key), reverse=direction < 0)
+            self._docs.sort(
+                key=lambda doc: _sort_key(doc.get(key)), reverse=direction < 0
+            )
         return self
 
     def limit(self, n: int):

@@ -44,14 +44,22 @@ def setup_logger(
     log_dir: str = "logs",
     json_format: bool = False,
     level: int = logging.INFO,
+    _console_only: bool = False,
 ) -> logging.Logger:
-    """Idempotent: repeated calls return the already-configured logger."""
+    """Idempotent for identical settings; a call with DIFFERENT settings
+    reconfigures. (get_logger auto-configures console-only at import time —
+    without the reconfigure path, Context's explicit setup_logger(log_dir,
+    log_json) was a guaranteed no-op and user settings were ignored.)"""
     with _lock:
-        if name in _configured:
-            return _configured[name]
+        prev = _configured.get(name)
+        settings = (log_dir, json_format, level, _console_only)
+        if prev is not None and prev[1] == settings:
+            return prev[0]
         logger = logging.getLogger(name)
         logger.setLevel(level)
         logger.propagate = False
+        for h in list(logger.handlers):  # reconfigure: drop old handlers
+            logger.removeHandler(h)
         fmt = (
             JsonFormatter()
             if json_format
@@ -60,28 +68,32 @@ def setup_logger(
         sh = logging.StreamHandler()
         sh.setFormatter(fmt)
         logger.addHandler(sh)
-        try:
-            os.makedirs(log_dir, exist_ok=True)
-            fh = RotatingFileHandler(
-                os.path.join(log_dir, "app.log"),
-                maxBytes=10 * 1024 * 1024,
-                backupCount=5,
-            )
-            fh.setFormatter(fmt)
-            logger.addHandler(fh)
-        except OSError:
-            pass
-        _configured[name] = logger
+        if not _console_only:
+            try:
+                os.makedirs(log_dir, exist_ok=True)
+                fh = RotatingFileHandler(
+                    os.path.join(log_dir, "app.log"),
+                    maxBytes=10 * 1024 * 1024,
+                    backupCount=5,
+                )
+                fh.setFormatter(fmt)
+                logger.addHandler(fh)
+            except OSError:
+                pass
+        _configured[name] = (logger, settings)
         return logger
 
 
 def get_logger(name: str) -> logging.Logger:
-    root = _configured.get("frp") or setup_logger()
+    # console-only auto-config: module-level get_logger calls run at import
+    # time, and creating ./logs as an import side effect (or locking in the
+    # default file location before Context reads the real cfg) is wrong
+    if "frp" not in _configured:
+        setup_logger(_console_only=True)
     child = logging.getLogger(name)
-    if not child.handlers:
-        child.handlers = root.handlers
-        child.setLevel(root.level)
-        child.propagate = False
+    if name != "frp":
+        child.setLevel(logging.NOTSET)  # inherit the root's level
+        child.propagate = True  # bubble to the 'frp' root's handlers
     return child
 
 
@@ -161,15 +173,19 @@ def append_target_log(target: str, entry: dict, log_dir: str = "logs"):
         f"camera={entry.get('camera_id')} ({entry.get('camera_name', '?')}) | "
         f"distance={entry.get('distance')}\n"
     )
-    with open(txt, "a") as f:
-        f.write(line)
-    try:
-        with open(jsn, "r") as f:
-            items = json.load(f)
-    except (OSError, json.JSONDecodeError):
-        items = []
-    items.append(entry)
-    tmp = jsn + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(items, f, default=str)
-    os.replace(tmp, jsn)
+    # serialized: the read-modify-write of {target}.json loses entries under
+    # concurrent appenders, and a shared ".tmp" name can interleave writers
+    # from other processes (hence the pid suffix too)
+    with _lock:
+        with open(txt, "a") as f:
+            f.write(line)
+        try:
+            with open(jsn, "r") as f:
+                items = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            items = []
+        items.append(entry)
+        tmp = f"{jsn}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(items, f, default=str)
+        os.replace(tmp, jsn)

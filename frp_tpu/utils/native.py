@@ -59,9 +59,22 @@ def get_framepack():
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
-            lib.framepack_version.restype = ctypes.c_int
-            if lib.framepack_version() < 2 and _build():
-                lib = ctypes.CDLL(_LIB_PATH)  # stale prebuilt; rebuilt v2
+            try:
+                lib.framepack_version.restype = ctypes.c_int
+                version = lib.framepack_version()
+            except AttributeError:  # pre-versioning build
+                version = 0
+            if version < 2 and _build():
+                # dlopen caches by path: re-CDLL(_LIB_PATH) would return the
+                # OLD mapping and the version check would fail forever. Load
+                # the rebuilt library through a unique copy instead.
+                import shutil
+                import tempfile
+
+                fd, tmp = tempfile.mkstemp(suffix=".so")
+                os.close(fd)
+                shutil.copy2(_LIB_PATH, tmp)
+                lib = ctypes.CDLL(tmp)
                 lib.framepack_version.restype = ctypes.c_int
             lib.framepack_letterbox_i420_rows.argtypes = [
                 ctypes.POINTER(ctypes.c_void_p),

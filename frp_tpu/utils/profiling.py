@@ -83,11 +83,14 @@ class DeviceTracer:
             if self._active is None:
                 return {"success": False, "message": "no trace running"}
             path = self._active
-            self._active = None
             try:
                 jax.profiler.stop_trace()
             except Exception as e:
+                # keep _active set: clearing it while the JAX session is
+                # still live wedges the tracer (stop says "not running",
+                # start says "already tracing") until process restart
                 return {"success": False, "message": str(e)}
+            self._active = None
             return {"success": True, "trace_dir": path}
 
     @contextlib.contextmanager

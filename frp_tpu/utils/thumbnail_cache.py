@@ -43,6 +43,18 @@ class ThumbnailCache:
             except Exception:
                 self._redis = None
         os.makedirs(disk_dir, exist_ok=True)
+        # purge tmp files orphaned by interrupted set() writes: eviction and
+        # quota accounting only see '.bin', so leaked tmp bytes were
+        # invisible and accumulated forever
+        try:
+            for name in os.listdir(disk_dir):
+                if ".tmp" in name:
+                    try:
+                        os.remove(os.path.join(disk_dir, name))
+                    except OSError:
+                        pass
+        except OSError:
+            pass
 
     def _path(self, key: str) -> str:
         return os.path.join(self._dir, hashlib.sha1(key.encode()).hexdigest() + ".bin")

@@ -124,3 +124,54 @@ def test_log_alert_dedup_window(tmp_path):
     assert os.path.exists(tmp_path / "logs" / "alice.txt")
     with open(tmp_path / "logs" / "alice.json") as f:
         assert len(json.load(f)) == 1
+
+
+def test_docstore_sort_tolerates_missing_fields(tmp_path):
+    """One doc without the sort field must not TypeError the whole query
+    (Mongo sorts missing-first)."""
+    from frp_tpu.utils.docstore import connect
+
+    db, backend = connect("", str(tmp_path / "store"))
+    coll = db["tracking"]
+    coll.insert_one({"person": "a", "timestamp": "2026-01-01T00:00:00"})
+    coll.insert_one({"person": "b"})  # no timestamp
+    coll.insert_one({"person": "c", "timestamp": "2026-01-02T00:00:00"})
+    docs = list(coll.aggregate([{"$sort": {"timestamp": 1}}]))
+    assert [d["person"] for d in docs] == ["b", "a", "c"]  # missing first
+    docs = list(coll.find().sort("timestamp", -1))
+    assert docs[0]["person"] == "c"
+
+
+def test_docstore_append_inserts_survive_reload(tmp_path):
+    """insert_one appends (no full rewrite); reload sees every doc, and a
+    torn trailing line doesn't discard the rest."""
+    from frp_tpu.utils.docstore import connect
+
+    path = str(tmp_path / "store")
+    db, _ = connect("", path)
+    for i in range(5):
+        db["tracking"].insert_one({"i": i})
+    # simulate a torn write (crash mid-append)
+    import glob
+    files = glob.glob(f"{path}/tracking*")
+    assert files, "no collection file written"
+    with open(files[0], "a") as f:
+        f.write('{"i": 99, "_id": "torn')  # no newline, invalid JSON
+    db2, _ = connect("", path)
+    docs = list(db2["tracking"].find())
+    assert len(docs) == 5  # torn line skipped, rest intact
+
+
+def test_docstore_returns_deep_copies(tmp_path):
+    from frp_tpu.utils.docstore import connect
+
+    db, _ = connect("", str(tmp_path / "store"))
+    coll = db["faces"]
+    src = {"target": "a", "nested": {"vals": [1, 2]}}
+    coll.insert_one(src)
+    src["nested"]["vals"].append(3)  # caller mutation after insert
+    got = coll.find_one({"target": "a"})
+    assert got["nested"]["vals"] == [1, 2]
+    got["nested"]["vals"].append(4)  # mutation of a returned doc
+    again = coll.find_one({"target": "a"})
+    assert again["nested"]["vals"] == [1, 2]
