@@ -1,4 +1,13 @@
 """Mesh construction, sharding helpers, and sharded FedAvg collectives."""
 
-from frp_tpu.parallel.mesh import make_mesh, data_sharding, replicated
-from frp_tpu.parallel.fedavg import fedavg_sharded
+from frp_tpu.parallel.fedavg import fedavg_sharded, pad_clients
+from frp_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    data_sharding,
+    distributed_initialize,
+    make_global_mesh,
+    make_mesh,
+    model_sharding,
+    replicated,
+)

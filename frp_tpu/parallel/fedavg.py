@@ -18,6 +18,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from frp_tpu.parallel.mesh import DATA_AXIS
 
 
+_FN_CACHE: dict = {}
+
+
+def _local_combine(shard, w):
+    def one(leaf):
+        # weight math in float32: astype(leaf.dtype) on an int leaf would
+        # truncate 1/K weights to ZERO and silently null the average
+        wl = w.reshape((-1,) + (1,) * (leaf.ndim - 1)).astype(jnp.float32)
+        partial = jnp.sum(leaf.astype(jnp.float32) * wl, axis=0)
+        return jax.lax.psum(partial, axis_name=DATA_AXIS).astype(leaf.dtype)
+
+    return jax.tree_util.tree_map(one, shard)
+
+
 def fedavg_sharded(mesh: Mesh, stacked, weights: jnp.ndarray):
     """FedAvg over a mesh.
 
@@ -28,26 +42,28 @@ def fedavg_sharded(mesh: Mesh, stacked, weights: jnp.ndarray):
         weights: [K] float weights summing to 1.
     Returns pytree of [...] leaves, replicated on all devices.
     """
-    ndata = mesh.shape[DATA_AXIS]
-
-    def local_combine(shard, w):
-        def one(leaf):
-            wl = w.reshape((-1,) + (1,) * (leaf.ndim - 1)).astype(leaf.dtype)
-            partial = jnp.sum(leaf * wl, axis=0)
-            return jax.lax.psum(partial, axis_name=DATA_AXIS)
-
-        return jax.tree_util.tree_map(one, shard)
-
-    in_specs = (
-        jax.tree_util.tree_map(lambda _: P(DATA_AXIS), stacked),
-        P(DATA_AXIS),
+    # cache the compiled fn per (mesh, structure, shapes): rebuilding the
+    # shard_map + jit wrapper per call misses jit's identity-keyed cache and
+    # re-traced every FL round (remote compile is 5-40 s, CLAUDE.md gotcha 9)
+    leaves, treedef = jax.tree_util.tree_flatten(stacked)
+    key = (
+        id(mesh),
+        treedef,
+        tuple((l.shape, str(getattr(l, "dtype", "?"))) for l in leaves),
     )
-    out_specs = jax.tree_util.tree_map(lambda _: P(), stacked)
-    fn = jax.shard_map(
-        local_combine, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-        check_vma=False,
-    )
-    return jax.jit(fn)(stacked, weights)
+    fn = _FN_CACHE.get(key)
+    if fn is None:
+        in_specs = (
+            jax.tree_util.tree_map(lambda _: P(DATA_AXIS), stacked),
+            P(DATA_AXIS),
+        )
+        out_specs = jax.tree_util.tree_map(lambda _: P(), stacked)
+        fn = jax.jit(jax.shard_map(
+            _local_combine, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        ))
+        _FN_CACHE[key] = fn
+    return fn(stacked, weights)
 
 
 def pad_clients(stacked, weights, multiple: int):

@@ -56,12 +56,16 @@ def distributed_initialize(
         raw = os.getenv("FRP_PROCESS_ID") or os.getenv("JAX_PROCESS_ID")
         process_id = int(raw) if raw else None
 
-    state = getattr(jax.distributed, "global_state", None)
-    already = state is not None and getattr(state, "client", None) is not None
+    try:
+        already = bool(jax.distributed.is_initialized())
+    except AttributeError:  # very old jax
+        already = False
     if coordinator is None and not already:
+        # do NOT touch jax.devices() here: it initializes the XLA backend,
+        # which both forecloses a later real distributed init in this
+        # process AND grabs the TPU chip (gotcha 2) just for a probe
         return {"enabled": False, "process_id": 0, "num_processes": 1,
-                "local_devices": len(jax.local_devices()),
-                "global_devices": len(jax.devices())}
+                "local_devices": None, "global_devices": None}
     if not already:
         # bounded bring-up: a typo'd coordinator address must fail loudly
         # in ~FRP_DIST_TIMEOUT seconds, not hang for JAX's default 300 s
@@ -89,6 +93,17 @@ def make_global_mesh(n_model: int = 1) -> Mesh:
     first on every process."""
     devices = np.asarray(jax.devices())  # global list, process-major order
     per_host = max(1, len(jax.local_devices()))
+    # the host-straddle guard assumes a homogeneous fleet: verify every
+    # process contributes the same device count, or the process-major
+    # reshape silently pairs devices from different hosts on the TP axis
+    from collections import Counter
+
+    by_proc = Counter(d.process_index for d in devices.tolist())
+    if len(set(by_proc.values())) > 1:
+        raise ValueError(
+            f"heterogeneous device counts per process {dict(by_proc)}: "
+            "the (data, model) reshape would straddle hosts"
+        )
     if n_model > per_host or per_host % n_model:
         raise ValueError(
             f"model axis {n_model} must divide local device count {per_host} "

@@ -278,7 +278,9 @@ class FederatedService:
     def _combine(self, updates: dict, weights: dict) -> dict:
         """Mesh-sharded psum when >1 device; host numpy otherwise — identical
         math (tested against each other)."""
-        if self.mesh is not None and self.mesh.devices.size > 1:
+        mesh = self._local_mesh()
+        if mesh is not None and mesh.devices.size > 1:
+            import jax
             import jax.numpy as jnp
 
             from frp_tpu.parallel.fedavg import fedavg_sharded, pad_clients
@@ -293,10 +295,34 @@ class FederatedService:
                 for n in names
             }
             wvec = jnp.asarray([weights[c] for c in clients], jnp.float32)
-            stacked, wvec = pad_clients(stacked, wvec, self.mesh.shape[DATA_AXIS])
-            out = fedavg_sharded(self.mesh, stacked, wvec)
-            return {n: np.asarray(out[n], np.float64) for n in names}
+            stacked, wvec = pad_clients(stacked, wvec, mesh.shape[DATA_AXIS])
+            out = fedavg_sharded(mesh, stacked, wvec)
+            # ONE device fetch for the whole tree (CLAUDE.md gotcha 4:
+            # per-leaf np.asarray costs ~1 s/leaf inside the service lock)
+            host = jax.device_get(out)
+            return {n: np.asarray(host[n], np.float64) for n in names}
         return fedavg_combine(updates, weights)
+
+    def _local_mesh(self):
+        """Mesh for the FL psum, restricted to THIS PROCESS's devices.
+
+        FL aggregation is triggered by one process's HTTP handler; a
+        GLOBAL (multi-host) mesh would enter a cross-DCN collective the
+        other hosts never join — the request would hang until the
+        coordination timeout. Cross-host FL remains what the reference
+        contract makes it: clients exchange weights over HTTP."""
+        if self.mesh is None:
+            return None
+        import jax
+
+        local = [d for d in self.mesh.devices.flat if d.process_index == jax.process_index()]
+        if len(local) == self.mesh.devices.size:
+            return self.mesh  # single-process mesh: use as-is
+        if len(local) <= 1:
+            return None
+        from frp_tpu.parallel.mesh import make_mesh
+
+        return make_mesh(n_data=len(local), n_model=1, devices=local)
 
     # -- rounds (federated.py:1086-1136) ---------------------------------------
     def start_round(self) -> dict:
