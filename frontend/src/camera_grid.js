@@ -13,12 +13,14 @@ import { h, Component } from "./dom.js";
 import { getCameraStatus } from "./api.js";
 
 function randomPick(arr, n) {
-  const copy = arr.slice();
-  for (let i = copy.length - 1; i > 0; i--) {
-    const j = Math.floor(Math.random() * (i + 1));
-    [copy[i], copy[j]] = [copy[j], copy[i]];
+  // draw n without replacement: repeatedly splice a random element out of a
+  // shrinking pool (small n makes this cheaper than a full shuffle)
+  const pool = arr.slice();
+  const picked = [];
+  while (picked.length < n && pool.length > 0) {
+    picked.push(pool.splice(Math.floor(Math.random() * pool.length), 1)[0]);
   }
-  return copy.slice(0, n);
+  return picked;
 }
 
 export class CameraGrid extends Component {

@@ -220,8 +220,10 @@ def register(router, ctx):
             # the newest available one IS the current state
             3.0 * (prev or {}).get("processing_time", 0.0),
         )
+        cached = False
         if defaults and time.time() - last_scan["t"] < freshness:
             scan = last_scan["digest"]
+            cached = True
         else:
             scan = await asyncio.to_thread(run_scan, threshold, frame_skip, max_faces)
         all_alerts = ctx.alerts.get_alerts(limit=50)
@@ -258,10 +260,16 @@ def register(router, ctx):
                     "detections": len(scan["detections"]),
                     "processing_time": scan["processing_time"],
                     "device_time": scan.get("device_time"),
+                    # when the freshness window serves a prior scan's digest,
+                    # say so — processing_time/cameras_scanned describe that
+                    # scan, and its alerts must not re-report as new
+                    "cached": cached,
+                    "digest_age": round(time.time() - last_scan["t"], 3)
+                    if cached else 0.0,
                 },
                 # extensions beyond the reference envelope
                 "all_alerts": all_alerts,
-                "new_alerts": scan["alerts"],
+                "new_alerts": [] if cached else scan["alerts"],
                 "detections": scan["detections"],
                 "alert_history": ctx.alerts.history_snapshot(10),
             }

@@ -590,16 +590,26 @@ class RecognitionEngine:
             if path.endswith(".onnx"):
                 import copy
 
-                from frp_tpu.models.params import import_onnx_weights, load_onnx_tensors
+                from frp_tpu.models.params import (
+                    import_onnx_graph,
+                    import_onnx_weights,
+                    load_onnx_graph,
+                )
 
-                tensors = load_onnx_tensors(path)
-                if tensors is None:
+                graph = load_onnx_graph(path)
+                if graph is None:
                     raise ValueError("unreadable/empty onnx")
                 # deepcopy, NOT tree_map: tree_map sorts dict keys, which
                 # breaks the construction-order walk the structural importer
                 # matches by
                 new = copy.deepcopy(ref_tree)
-                import_onnx_weights(new, tensors)  # raises on mismatch
+                if graph["nodes"]:
+                    # real exports: map by node execution order (immune to
+                    # numeric initializer names / serialization order /
+                    # onnxsim BN folding)
+                    import_onnx_graph(new, graph)  # raises on mismatch
+                else:  # node-free tensor dumps: dotted-name structural walk
+                    import_onnx_weights(new, graph["initializers"])
                 return new
             return load_params(path)
 
@@ -631,6 +641,32 @@ class RecognitionEngine:
                         )
                 if loaded[model]:
                     break
+        # Imported ONNX checkpoints were trained under torch's symmetric k//2
+        # conv padding; running them under XLA-"same" shifts every stride-2
+        # grid one pixel and silently degrades accuracy (models/nn.py
+        # set_padding_mode contract). An explicit CONV_PADDING always wins.
+        onnx_models = [m for m, p in loaded.items() if p and p.endswith(".onnx")]
+        if onnx_models and "CONV_PADDING" not in os.environ:
+            from frp_tpu.models import nn
+
+            npz_models = [m for m, p in loaded.items()
+                          if p and not p.endswith(".onnx")]
+            if npz_models:
+                # mixed provenance: one global mode cannot fit both; keep the
+                # current mode but say loudly which models are mis-padded
+                logger.warning(
+                    "mixed weight provenance (onnx: %s, npz: %s): conv padding "
+                    "mode stays '%s'; set CONV_PADDING=torch if the onnx "
+                    "models matter more, or convert all weights to one format",
+                    onnx_models, npz_models, nn._PADDING_MODE,
+                )
+            elif nn._PADDING_MODE != "torch":
+                logger.warning(
+                    "onnx checkpoints loaded (%s): switching conv padding to "
+                    "'torch' before first trace (override with CONV_PADDING)",
+                    onnx_models,
+                )
+                nn.set_padding_mode("torch")
         return loaded
 
     # -- staged dispatch ------------------------------------------------

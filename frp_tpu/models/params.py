@@ -314,6 +314,241 @@ def load_onnx_tensors(path: str) -> dict | None:
         return None
 
 
+def _parse_attribute(buf: bytes) -> tuple[str, object]:
+    """AttributeProto: 1=name 2=f(fixed32) 3=i 4=s 7=floats 8=ints."""
+    name = ""
+    value: object = None
+    floats: list[float] = []
+    ints: list[int] = []
+    for field, wire, val in _pb_fields(buf):
+        if field == 1:
+            name = val.decode("utf-8", "replace")
+        elif field == 2:
+            value = float(np.frombuffer(val, np.float32)[0])
+        elif field == 3:
+            # varints are unsigned on the wire; attrs like transB are small
+            value = val
+        elif field == 4:
+            value = val
+        elif field == 5:
+            value = val  # embedded TensorProto bytes (Constant nodes)
+        elif field == 7:
+            if wire == 2:
+                floats.extend(np.frombuffer(val, np.float32).tolist())
+            else:
+                floats.append(float(np.frombuffer(val, np.float32)[0]))
+        elif field == 8:
+            if wire == 2:
+                i = 0
+                while i < len(val):
+                    v, i = _pb_varint(val, i)
+                    ints.append(v)
+            else:
+                ints.append(val)
+    if floats:
+        value = floats
+    elif ints:
+        value = ints
+    return name, value
+
+
+def _parse_nodeproto(buf: bytes) -> dict:
+    """NodeProto: 1=input 2=output 3=name 4=op_type 5=attribute."""
+    node = {"op": "", "inputs": [], "outputs": [], "attrs": {}}
+    for field, wire, val in _pb_fields(buf):
+        if field == 1:
+            node["inputs"].append(val.decode("utf-8", "replace"))
+        elif field == 2:
+            node["outputs"].append(val.decode("utf-8", "replace"))
+        elif field == 4:
+            node["op"] = val.decode("utf-8", "replace")
+        elif field == 5:
+            k, v = _parse_attribute(val)
+            node["attrs"][k] = v
+    return node
+
+
+def load_onnx_graph(path: str) -> dict | None:
+    """Parse an ONNX file into {"initializers": {name: arr}, "nodes": [...]}.
+
+    Real exports (InsightFace det_10g / w600k_r50, torch.onnx + onnxsim) name
+    initializers numerically ("onnx::Conv_473", "1234") and serialize them in
+    arbitrary order — name-based grouping cannot map them. The node list
+    (GraphProto field 1, topologically sorted per the ONNX spec) recovers the
+    execution order the structural importer needs. Returns None on
+    missing/empty/undecodable files."""
+    if not os.path.exists(path) or os.path.getsize(path) == 0:
+        return None
+    try:
+        with open(path, "rb") as f:
+            buf = f.read()
+        graph = None
+        for field, wire, val in _pb_fields(buf):
+            if field == 7 and wire == 2:
+                graph = val
+                break
+        if graph is None:
+            return None
+        inits: dict = {}
+        nodes: list = []
+        for field, wire, val in _pb_fields(graph):
+            if field == 5 and wire == 2:
+                name, arr = _parse_tensorproto(val)
+                inits[name] = arr
+            elif field == 1 and wire == 2:
+                nodes.append(_parse_nodeproto(val))
+        # Constant nodes act as initializers for their output name
+        for node in nodes:
+            if node["op"] == "Constant" and node["outputs"]:
+                t = node["attrs"].get("value")
+                if isinstance(t, bytes):
+                    try:
+                        _, arr = _parse_tensorproto(t)
+                        inits.setdefault(node["outputs"][0], arr)
+                    except Exception:
+                        pass
+        if not inits:
+            return None
+        return {"initializers": inits, "nodes": nodes}
+    except Exception:
+        return None
+
+
+def units_from_onnx_nodes(nodes: list, inits: dict) -> list:
+    """Typed weight units in node execution order.
+
+    Understands the ops real face-model exports carry weights in: Conv
+    (optionally biased — onnxsim folds BatchNorm into the preceding conv),
+    BatchNormalization, PRelu, Gemm (transB-aware), and MatMul+Add pairs.
+    Weightless ops (Relu/Add/Concat/Resize/Reshape/...) are skipped."""
+    units = []
+    pending_matmul: tuple | None = None  # (out_name, w) awaiting its Add bias
+    for node in nodes:
+        op, ins = node["op"], node["inputs"]
+        if pending_matmul is not None:
+            out_name, w = pending_matmul
+            pending_matmul = None
+            if (op == "Add" and len(ins) == 2
+                    and out_name in ins
+                    and any(i in inits for i in ins if i != out_name)):
+                bias_name = next(i for i in ins if i != out_name)
+                units.append(("dense", {"w": w, "b": np.asarray(
+                    inits[bias_name], np.float32).reshape(-1)}, node.get("name", op)))
+                continue
+            units.append(("dense", {"w": w, "b": np.zeros(w.shape[1], np.float32)},
+                          "matmul"))
+        if op == "Conv" and len(ins) >= 2 and ins[1] in inits:
+            w = np.asarray(inits[ins[1]], np.float32)
+            unit = {"w": w.transpose(2, 3, 1, 0)}  # OIHW -> HWIO
+            if len(ins) >= 3 and ins[2] in inits:
+                unit["b"] = np.asarray(inits[ins[2]], np.float32).reshape(-1)
+            units.append(("conv", unit, node.get("name", op)))
+        elif op == "BatchNormalization" and len(ins) >= 5:
+            units.append(("bn", {
+                "gamma": np.asarray(inits[ins[1]], np.float32),
+                "beta": np.asarray(inits[ins[2]], np.float32),
+                "mean": np.asarray(inits[ins[3]], np.float32),
+                "var": np.asarray(inits[ins[4]], np.float32),
+            }, node.get("name", op)))
+        elif op == "PRelu" and len(ins) >= 2 and ins[1] in inits:
+            units.append(("prelu", {
+                "alpha": np.asarray(inits[ins[1]], np.float32).reshape(-1),
+            }, node.get("name", op)))
+        elif op == "Gemm" and len(ins) >= 2 and ins[1] in inits:
+            w = np.asarray(inits[ins[1]], np.float32)
+            if node["attrs"].get("transB", 0):  # [out, in] -> [in, out]
+                w = w.T
+            b = (np.asarray(inits[ins[2]], np.float32).reshape(-1)
+                 if len(ins) >= 3 and ins[2] in inits
+                 else np.zeros(w.shape[1], np.float32))
+            units.append(("dense", {"w": w, "b": b}, node.get("name", op)))
+        elif op == "MatMul" and len(ins) == 2 and ins[1] in inits:
+            w = np.asarray(inits[ins[1]], np.float32)  # already [in, out]
+            pending_matmul = (node["outputs"][0] if node["outputs"] else "", w)
+    if pending_matmul is not None:
+        out_name, w = pending_matmul
+        units.append(("dense", {"w": w, "b": np.zeros(w.shape[1], np.float32)},
+                      "matmul"))
+    return units
+
+
+_BN_EPS = 1e-5  # nn.batch_norm's eps — the identity-BN trick depends on it
+
+
+def import_onnx_graph(params, graph: dict) -> int:
+    """Map a parsed ONNX graph onto our param pytree IN PLACE, by node
+    execution order — immune to initializer naming and serialization order.
+
+    Tolerates onnxsim-style BatchNorm folding: where the export carries a
+    BIASED conv and our tree has a bias-free conv followed by a bn unit, the
+    folded weights land in the conv and the bn is neutralized to an exact
+    identity-plus-bias (gamma=sqrt(1+eps), beta=bias, mean=0, var=1, so
+    x*gamma*rsqrt(var+eps)+beta == x+bias bit-for-practical purposes).
+    Imported checkpoints need torch conv-padding semantics — the engine
+    flips CONV_PADDING when it loads one (engine/pipeline.py _load_weights).
+    Raises ValueError on any structural mismatch. Returns tensors copied."""
+    theirs = units_from_onnx_nodes(graph["nodes"], graph["initializers"])
+    if not theirs:
+        raise ValueError("onnx graph carries no recognizable weight units")
+    ours = _collect_units(params)
+    copied = 0
+    i = j = 0
+
+    def _copy(node, values, where):
+        nonlocal copied
+        for key, arr in values.items():
+            if key not in node:
+                raise ValueError(f"onnx unit {where} carries '{key}' but our "
+                                 f"unit has no such slot")
+            if tuple(np.shape(node[key])) != tuple(arr.shape):
+                raise ValueError(
+                    f"shape mismatch at {where}/{key}: ours "
+                    f"{np.shape(node[key])} vs onnx {arr.shape}")
+            node[key] = np.asarray(arr, np.float32)
+            copied += 1
+
+    while i < len(ours) and j < len(theirs):
+        kind_a, node, path = ours[i]
+        kind_b, values, name = theirs[j]
+        if kind_a == "dense" and kind_b == "conv":
+            w = values["w"]
+            if w.ndim == 4 and w.shape[0] == w.shape[1] == 1:
+                values = dict(values)
+                values["w"] = w.reshape(w.shape[2], w.shape[3])
+                kind_b = "dense"
+        if (kind_a == "conv" and kind_b == "conv" and "b" in values
+                and "b" not in node
+                and i + 1 < len(ours) and ours[i + 1][0] == "bn"):
+            # BN-folded conv: weights here, bias via an identity bn
+            _copy(node, {"w": values["w"]}, name)
+            bias = values["b"]
+            bn = ours[i + 1][1]
+            if np.shape(bn["beta"]) != bias.shape:
+                raise ValueError(
+                    f"folded-conv bias shape {bias.shape} does not match the "
+                    f"bn unit at {ours[i + 1][2]} ({np.shape(bn['beta'])})")
+            bn["gamma"] = np.full(bias.shape, np.sqrt(1.0 + _BN_EPS), np.float32)
+            bn["beta"] = np.asarray(bias, np.float32)
+            bn["mean"] = np.zeros(bias.shape, np.float32)
+            bn["var"] = np.ones(bias.shape, np.float32)
+            copied += 4
+            i += 2
+            j += 1
+            continue
+        if kind_a != kind_b:
+            raise ValueError(
+                f"unit-kind mismatch at ours[{i}]={path} ({kind_a}) vs "
+                f"onnx[{j}]={name} ({kind_b})")
+        _copy(node, values, name)
+        i += 1
+        j += 1
+    if i < len(ours) or j < len(theirs):
+        raise ValueError(
+            f"unit-count mismatch: consumed {i}/{len(ours)} of ours, "
+            f"{j}/{len(theirs)} of onnx")
+    return copied
+
+
 def import_onnx_weights(params, tensors: dict) -> int:
     """Structurally map ONNX initializer tensors onto our param pytree.
 

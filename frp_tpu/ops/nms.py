@@ -82,7 +82,10 @@ def _select_slots(keep, top_scores, top_boxes, top_ldm, max_out, k):
     # score, then validity comes from the KEEP mask — `score > 0` dropped a
     # kept box whose score is exactly 0.0 (conf_thresh <= 0, underflowed
     # softmax) even though it had already suppressed its neighbors
-    sort_key = keep.astype(jnp.float32) * 2.0 + top_scores
+    # clamp the score term so kept boxes outrank suppressed ones even for
+    # callers passing unnormalized/logit scores (> 2.0 would otherwise let a
+    # suppressed candidate beat a kept one)
+    sort_key = keep.astype(jnp.float32) * 2.0 + jnp.clip(top_scores, 0.0, 1.0)
     kept = keep
     if max_out > k:  # fewer candidates than output slots: pad the pool
         pad = max_out - k

@@ -75,6 +75,9 @@ def get_framepack():
                 os.close(fd)
                 shutil.copy2(_LIB_PATH, tmp)
                 lib = ctypes.CDLL(tmp)
+                # the mapping stays valid after unlink on Linux; without this
+                # each process start with a stale v1 on disk leaks one temp .so
+                os.unlink(tmp)
                 lib.framepack_version.restype = ctypes.c_int
             lib.framepack_letterbox_i420_rows.argtypes = [
                 ctypes.POINTER(ctypes.c_void_p),

@@ -35,3 +35,15 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _restore_conv_padding_mode():
+    """The engine flips the global conv padding mode when it loads an ONNX
+    checkpoint (models/nn.py contract); without restoration one such test
+    would silently shift every later test's conv grids."""
+    from frp_tpu.models import nn
+
+    mode = nn._PADDING_MODE
+    yield
+    nn._PADDING_MODE = mode

@@ -13,6 +13,11 @@ from __future__ import annotations
 
 import argparse
 import asyncio
+import os
+import sys
+
+# runnable as `python tools/demo_server.py` without an installed package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
