@@ -120,10 +120,13 @@ def retinaface_forward(params: dict, x: jnp.ndarray) -> dict:
     # FPN top-down
     lat = [nn.conv_bn(p, f, act=nn.leaky_relu) for p, f in zip(params["fpn_lat"], feats)]
     p3 = lat[2]
+    # fpn_merge list order == execution order (p2's merge first): the ONNX
+    # structural importer maps weights by execution order, and both merges
+    # are shape-identical — a swapped convention would import silently wrong
     p2 = lat[1] + nn.upsample2x(p3, lat[1].shape[1:3])
-    p2 = nn.conv_bn(params["fpn_merge"][1], p2, act=nn.leaky_relu)
+    p2 = nn.conv_bn(params["fpn_merge"][0], p2, act=nn.leaky_relu)
     p1 = lat[0] + nn.upsample2x(p2, lat[0].shape[1:3])
-    p1 = nn.conv_bn(params["fpn_merge"][0], p1, act=nn.leaky_relu)
+    p1 = nn.conv_bn(params["fpn_merge"][1], p1, act=nn.leaky_relu)
     pyramid = [p1, p2, p3]
 
     feats = [_ssh(p, f) for p, f in zip(params["ssh"], pyramid)]
