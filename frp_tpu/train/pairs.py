@@ -23,12 +23,14 @@ def build_pair_crops(
     variants: int = 4,
     seed: int = 9000,
     size: int = 112,
+    difficulty=None,
 ):
     """Render `variants` crops for each of `n_identities` held-out identities.
 
     Returns (crops [N*V, size, size, 3] float32 RGB, labels [N*V] int).
     Identity seeds start at `seed` — keep this >= 1000 so they are disjoint
-    from the 0..63 range the shipped embedder trained on."""
+    from the 0..63 range the shipped embedder trained on. ``difficulty``
+    (None | tier | "mix") selects the nuisance tier (synthetic.TIERS)."""
     from frp_tpu.train.synthetic import make_identity, make_identity_crop
 
     rng = np.random.default_rng(seed)
@@ -36,7 +38,9 @@ def build_pair_crops(
     for i in range(n_identities):
         ident = make_identity(seed + i)
         for _ in range(variants):
-            crops.append(make_identity_crop(ident, rng, size=size))
+            crops.append(
+                make_identity_crop(ident, rng, size=size, difficulty=difficulty)
+            )
             labels.append(i)
     return np.stack(crops).astype(np.float32), np.asarray(labels, np.int64)
 
@@ -114,12 +118,22 @@ def build_scene_set(
     variants: int = 3,
     seed: int = 9000,
     hw: tuple = (1080, 1920),
+    difficulty=None,
 ):
     """Render one-face 1080p scenes per identity — the END-TO-END fixture:
     distances measured through detect -> landmark alignment -> warp -> embed
     include the detector's localization noise, exactly like the serving path
-    (the reference's decisions are end-to-end too, camera.py:232-256)."""
-    from frp_tpu.train.synthetic import make_identity, render_face
+    (the reference's decisions are end-to-end too, camera.py:232-256).
+    ``difficulty`` (None | tier | "mix") applies the nuisance tier to the
+    scene (pose/occlusion on the face, photometric on the frame)."""
+    from frp_tpu.train.synthetic import (
+        TIERS,
+        _pick_tier,
+        apply_photometric,
+        make_identity,
+        render_face,
+        sample_pose,
+    )
 
     rng = np.random.default_rng(seed)
     h, w = hw
@@ -128,6 +142,14 @@ def build_scene_set(
         ident = make_identity(seed + i)
         for _ in range(variants):
             rgb = rng.integers(20, 110, size=(h, w, 3), dtype=np.uint8)
+            tier = _pick_tier(rng, difficulty)
+            kw = {}
+            if tier is not None:
+                occ = TIERS[tier]["occ"]
+                kw = dict(
+                    pose=sample_pose(rng, tier),
+                    occlusion=occ if (occ and rng.random() < 0.5) else 0.0,
+                )
             render_face(
                 rgb,
                 w / 2 + float(rng.uniform(-w / 8, w / 8)),
@@ -135,7 +157,10 @@ def build_scene_set(
                 float(rng.uniform(170, 240)),
                 rng,
                 identity=ident,
+                **kw,
             )
+            if tier is not None:
+                rgb = apply_photometric(rgb, rng, tier)
             scenes.append(np.ascontiguousarray(rgb[..., ::-1]))  # BGR
             labels.append(i)
     return scenes, np.asarray(labels, np.int64)

@@ -16,6 +16,96 @@ from __future__ import annotations
 
 import numpy as np
 
+# ---------------------------------------------------------------------------
+# difficulty tiers (round-3 domain widening)
+# ---------------------------------------------------------------------------
+# Tier 0 is the round-2 domain (near-frontal, clean light). Tiers 1/2 add the
+# nuisances the reference's real-world models face (pose to +-60 deg yaw,
+# partial occlusion, backlight/low light, motion blur) so threshold-transfer
+# claims are measured beyond the easy distribution (VERDICT r2 weak #2).
+# Angles in degrees, occ = max face-area fraction occluded, gain = lighting
+# gain range, blur = max motion-blur length px, backlit_p = probability of a
+# strong illumination gradient across the scene.
+TIERS = {
+    0: dict(yaw=15, pitch=8, roll=6, occ=0.0, gain=(0.8, 1.2), blur=0,
+            backlit_p=0.0),
+    1: dict(yaw=35, pitch=22, roll=14, occ=0.15, gain=(0.5, 1.25), blur=3,
+            backlit_p=0.25),
+    2: dict(yaw=60, pitch=40, roll=22, occ=0.30, gain=(0.25, 1.3), blur=7,
+            backlit_p=0.45),
+}
+# training mix over tiers — mostly easy/moderate so bootstrap capacity is
+# spent where serving traffic lives, with enough hard-tier exposure to learn
+# the invariances
+TIER_MIX = (0.45, 0.35, 0.20)
+
+
+def sample_pose(rng, tier: int):
+    """(yaw, pitch, roll) radians drawn for a difficulty tier."""
+    t = TIERS[tier]
+    d = np.pi / 180.0
+    return (
+        float(rng.uniform(-t["yaw"], t["yaw"])) * d,
+        float(rng.uniform(-t["pitch"], t["pitch"])) * d,
+        float(rng.uniform(-t["roll"], t["roll"])) * d,
+    )
+
+
+def _pick_tier(rng, difficulty):
+    """None -> tier-0-compatible frontal render (no pose machinery at all,
+    byte-identical to the round-2 renderer); int -> that tier; "mix" ->
+    sampled from TIER_MIX."""
+    if difficulty is None:
+        return None
+    if difficulty == "mix":
+        return int(rng.choice(len(TIER_MIX), p=TIER_MIX))
+    return int(difficulty)
+
+
+def apply_photometric(img: np.ndarray, rng, tier: int) -> np.ndarray:
+    """Scene-level lighting + motion blur for a difficulty tier. Returns a
+    new uint8 array; geometry (boxes/landmarks) is unaffected."""
+    t = TIERS[tier]
+    out = img.astype(np.float32)
+    if t["backlit_p"] > 0 and rng.random() < t["backlit_p"]:
+        # backlight / hard side-light: linear illumination ramp across the
+        # frame, up to ~4x contrast between the bright and dark edge
+        h, w = out.shape[:2]
+        theta = float(rng.uniform(0, 2 * np.pi))
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        proj = (xx * np.cos(theta) + yy * np.sin(theta))
+        proj = (proj - proj.min()) / max(proj.max() - proj.min(), 1e-6)
+        lo = float(rng.uniform(0.25, 0.6))
+        out *= (lo + (1.0 - lo) * proj)[..., None]
+    gain = float(rng.uniform(*t["gain"]))
+    bias = float(rng.uniform(-18, 18))
+    out = out * gain + bias
+    blur_len = int(rng.integers(0, t["blur"] + 1)) if t["blur"] else 0
+    if blur_len >= 2:
+        out = _motion_blur(out, blur_len, float(rng.uniform(0, np.pi)))
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _motion_blur(img: np.ndarray, length: int, angle: float) -> np.ndarray:
+    """Average `length` copies shifted along `angle` (camera/subject motion).
+    Pure-numpy edge-clamped shifts — no cv2 dependency."""
+    acc = np.zeros_like(img, np.float32)
+    for k in range(length):
+        f = k - (length - 1) / 2.0
+        dy, dx = int(round(f * np.sin(angle))), int(round(f * np.cos(angle)))
+        shifted = np.roll(img, (dy, dx), axis=(0, 1))
+        # clamp the wrapped edges to the border rows/cols instead
+        if dy > 0:
+            shifted[:dy] = shifted[dy : dy + 1]
+        elif dy < 0:
+            shifted[dy:] = shifted[dy - 1 : dy]
+        if dx > 0:
+            shifted[:, :dx] = shifted[:, dx : dx + 1]
+        elif dx < 0:
+            shifted[:, dx:] = shifted[:, dx - 1 : dx]
+        acc += shifted
+    return acc / length
+
 
 def make_identity(seed: int) -> dict:
     """Stable per-person render parameters — the 'identity' an embedder can
@@ -39,21 +129,46 @@ def make_identity(seed: int) -> dict:
     }
 
 
-def render_face(canvas: np.ndarray, cx, cy, size, rng, identity: dict | None = None):
+def render_face(
+    canvas: np.ndarray, cx, cy, size, rng,
+    identity: dict | None = None,
+    pose: tuple | None = None,
+    occlusion: float = 0.0,
+):
     """Draw one synthetic face; returns (bbox xyxy px, landmarks 10 px).
+
     With ``identity`` (see make_identity) the face is person-stable; otherwise
-    colors come from ``rng`` with the standard geometry."""
+    colors come from ``rng`` with the standard geometry. ``pose`` is
+    (yaw, pitch, roll) radians: features are placed by projecting their 3-D
+    head offsets (eyes/nose/mouth protrude from the head sphere, so yaw slides
+    them toward the turn direction and foreshortens lateral spacing — the same
+    geometry a rotated real head projects to). ``occlusion`` > 0 covers that
+    fraction of the face box with an opaque patch (scarf/pole/hand stand-in);
+    landmarks still report the unoccluded positions, as real annotations do.
+    ``pose=None`` is byte-identical to the round-2 frontal renderer."""
     h, w = canvas.shape[:2]
     ident = identity or {}
-    ax = size * ident.get("head_ax", 0.42)
-    ay = size * ident.get("head_ay", 0.55)
+    yaw, pitch, roll = pose if pose is not None else (0.0, 0.0, 0.0)
+    cyaw, cpitch = np.cos(yaw), np.cos(pitch)
+    sroll, croll = np.sin(roll), np.cos(roll)
+    ax = size * ident.get("head_ax", 0.42) * (0.70 + 0.30 * cyaw)
+    ay = size * ident.get("head_ay", 0.55) * (0.88 + 0.12 * cpitch)
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    mask = ((xx - cx) / ax) ** 2 + ((yy - cy) / ay) ** 2 <= 1.0
+    # head ellipse in roll-rotated coordinates
+    u = (xx - cx) * croll + (yy - cy) * sroll
+    v = -(xx - cx) * sroll + (yy - cy) * croll
+    mask = (u / ax) ** 2 + (v / ay) ** 2 <= 1.0
     skin = ident.get(
         "skin",
         np.array([rng.integers(150, 220), rng.integers(110, 180), rng.integers(90, 160)]),
     )
     canvas[mask] = (0.8 * skin + 0.2 * canvas[mask]).astype(np.uint8)
+
+    def project(x_off, y_off, depth):
+        """3-D feature offset -> screen position under (yaw, pitch, roll)."""
+        px = x_off * cyaw + depth * np.sin(yaw)
+        py = y_off * cpitch - depth * np.sin(pitch)
+        return (cx + px * croll - py * sroll, cy + px * sroll + py * croll)
 
     def blob(bx, by, r, color):
         m = (xx - bx) ** 2 + (yy - by) ** 2 <= r * r
@@ -66,42 +181,82 @@ def render_face(canvas: np.ndarray, cx, cy, size, rng, identity: dict | None = N
     mouth_w = ident.get("mouth_w", 0.13)
     mouth_y = ident.get("mouth_y", 0.22)
     mouth_color = ident.get("mouth_color", (60, 40, 120))
-    le = (cx - eye_dx, cy - eye_dy)
-    re = (cx + eye_dx, cy - eye_dy)
-    nose = (cx, cy + size * 0.05)
-    ml = (cx - size * mouth_w * 0.92, cy + size * mouth_y)
-    mr = (cx + size * mouth_w * 0.92, cy + size * mouth_y)
+    z_eye, z_nose, z_mouth = size * 0.22, size * 0.40, size * 0.26
+    le = project(-eye_dx, -eye_dy, z_eye)
+    re = project(eye_dx, -eye_dy, z_eye)
+    nose = project(0.0, size * 0.05, z_nose)
+    ml = project(-size * mouth_w * 0.92, size * mouth_y, z_mouth)
+    mr = project(size * mouth_w * 0.92, size * mouth_y, z_mouth)
     blob(*le, eye_r, eye_color)
     blob(*re, eye_r, eye_color)
     blob(*nose, max(1.0, size * 0.03), (110, 80, 80))
-    mouth = (np.abs(xx - cx) <= size * mouth_w) & (
-        np.abs(yy - (cy + size * mouth_y)) <= max(1.0, size * 0.025)
+    mc = project(0.0, size * mouth_y, z_mouth)
+    um = (xx - mc[0]) * croll + (yy - mc[1]) * sroll
+    vm = -(xx - mc[0]) * sroll + (yy - mc[1]) * croll
+    mouth = (np.abs(um) <= size * mouth_w * cyaw) & (
+        np.abs(vm) <= max(1.0, size * 0.025)
     )
     canvas[mouth] = mouth_color
 
-    box = [cx - ax, cy - ay, cx + ax, cy + ay]
+    # bbox of the rotated head ellipse
+    bx = float(np.sqrt((ax * croll) ** 2 + (ay * sroll) ** 2))
+    by = float(np.sqrt((ax * sroll) ** 2 + (ay * croll) ** 2))
+    box = [cx - bx, cy - by, cx + bx, cy + by]
     ldm = [*le, *re, *nose, *ml, *mr]
+
+    if occlusion > 0.0:
+        frac = float(rng.uniform(0.4, 1.0)) * occlusion
+        area = (2 * bx) * (2 * by) * frac
+        aspect = float(rng.uniform(0.3, 3.0))
+        ow = max(2.0, np.sqrt(area * aspect))
+        oh = max(2.0, area / ow)
+        ox = float(rng.uniform(cx - bx, cx + bx - ow * 0.5))
+        oy = float(rng.uniform(cy - by, cy + by - oh * 0.5))
+        x0, x1 = max(0, int(ox)), min(w, int(ox + ow))
+        y0, y1 = max(0, int(oy)), min(h, int(oy + oh))
+        if x1 > x0 and y1 > y0:
+            shade = rng.integers(0, 90) if rng.random() < 0.7 else rng.integers(160, 255)
+            canvas[y0:y1, x0:x1] = np.clip(
+                int(shade) + rng.integers(-15, 16, 3), 0, 255
+            ).astype(np.uint8)
     return box, ldm
 
 
-def make_identity_crop(identity: dict, rng, size: int = 112) -> np.ndarray:
+def make_identity_crop(
+    identity: dict, rng, size: int = 112, difficulty=None
+) -> np.ndarray:
     """A 112x112 aligned-style crop of one identity with nuisance variation
     (background, lighting jitter, sub-pixel position/scale) — ArcFace
-    training samples. Returns RGB uint8."""
+    training samples. Returns RGB uint8. ``difficulty`` (None | tier int |
+    "mix") adds pose / occlusion / photometric nuisances per TIERS; None is
+    the round-2 behavior."""
     canvas = rng.integers(20, 110, (size, size, 3), dtype=np.uint8)
     cx = size / 2 + float(rng.uniform(-4, 4))
     cy = size / 2 + float(rng.uniform(-4, 4))
     fsize = size * float(rng.uniform(0.82, 1.0))
-    render_face(canvas, cx, cy, fsize, rng, identity)
-    # lighting jitter
-    gain = float(rng.uniform(0.8, 1.2))
-    bias = float(rng.uniform(-15, 15))
-    return np.clip(canvas.astype(np.float32) * gain + bias, 0, 255).astype(np.uint8)
+    tier = _pick_tier(rng, difficulty)
+    if tier is None:
+        render_face(canvas, cx, cy, fsize, rng, identity)
+        gain = float(rng.uniform(0.8, 1.2))
+        bias = float(rng.uniform(-15, 15))
+        return np.clip(
+            canvas.astype(np.float32) * gain + bias, 0, 255
+        ).astype(np.uint8)
+    occ = TIERS[tier]["occ"]
+    render_face(
+        canvas, cx, cy, fsize, rng, identity,
+        pose=sample_pose(rng, tier),
+        occlusion=occ if (occ and rng.random() < 0.5) else 0.0,
+    )
+    return apply_photometric(canvas, rng, tier)
 
 
-def make_scene(size: int, rng, max_faces: int = 3):
+def make_scene(size: int, rng, max_faces: int = 3, difficulty=None):
     """One training scene. Returns (image [S,S,3] uint8, boxes [G,4] norm,
-    ldm [G,10] norm, valid [G]) with G = max_faces padding."""
+    ldm [G,10] norm, valid [G]) with G = max_faces padding. ``difficulty``
+    (None | tier int | "mix") adds pose/occlusion/lighting/blur per TIERS;
+    None renders the round-2 frontal domain unchanged."""
+    tier = _pick_tier(rng, difficulty)
     img = rng.integers(20, 120, size=(size, size, 3), dtype=np.uint8)
     # background clutter
     for _ in range(rng.integers(2, 6)):
@@ -126,24 +281,35 @@ def make_scene(size: int, rng, max_faces: int = 3):
         else:
             continue
         placed.append((cx, cy, fsize))
-        box, ldm = render_face(img, cx, cy, fsize, rng)
+        if tier is None:
+            box, ldm = render_face(img, cx, cy, fsize, rng)
+        else:
+            occ = TIERS[tier]["occ"]
+            box, ldm = render_face(
+                img, cx, cy, fsize, rng,
+                pose=sample_pose(rng, tier),
+                occlusion=occ if (occ and rng.random() < 0.5) else 0.0,
+            )
         boxes[k] = np.asarray(box, np.float32) / size
         ldms[k] = np.asarray(ldm, np.float32) / size
         valid[k] = True
+    if tier is not None:
+        img = apply_photometric(img, rng, tier)
     return img, boxes, ldms, valid
 
 
-def make_batch(batch: int, size: int, rng, max_faces: int = 3):
+def make_batch(batch: int, size: int, rng, max_faces: int = 3, difficulty=None):
     """Half the batch renders at 1.5-2x and downsamples — cameras deliver
     resampled (softened) frames through the letterbox path, and a detector
     trained only on crisp native-res renders fails on them (measured: score
     0.995 native vs 0.007 after bilinear downscale before this augmentation).
+    ``difficulty`` flows to make_scene (None | tier | "mix").
     """
     imgs, boxes, ldms, valids = [], [], [], []
     for k in range(batch):
         scale = 1.0 if k % 2 == 0 else float(rng.uniform(1.5, 2.0))
         render = int(size * scale)
-        i, b, l, v = make_scene(render, rng, max_faces)
+        i, b, l, v = make_scene(render, rng, max_faces, difficulty=difficulty)
         if render != size:
             i = _resize_bilinear(i, size)
         imgs.append(i)

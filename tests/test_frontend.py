@@ -76,54 +76,81 @@ def test_path_traversal_rejected(app):
 
 
 # ---------------------------------------------------------------------------
-# 2. module graph
+# 2. module graph — real tokenizer/analyzer, not regexes (tools/es_check.py)
 # ---------------------------------------------------------------------------
 
-def test_every_import_resolves_and_names_exist():
-    import_re = re.compile(
-        r'import\s+(?:\{([^}]*)\}|(\w+))?\s*(?:,\s*\{([^}]*)\})?\s*from\s+"\./([\w.]+)"'
-    )
-    export_re = re.compile(
-        r"export\s+(?:const|let|function|class|async function)\s+(\w+)"
-        r"|export\s+\{([^}]*)\}"
-        r"|export\s+default\s+(\w+)?"
-    )
+from tools.es_check import (  # noqa: E402
+    ESSyntaxError,
+    analyze_module,
+    check_module_graph,
+    socket_event_names,
+)
+
+
+def test_es_modules_clean():
+    """Lexes every module (syntax errors raise), balances brackets incl.
+    template substitutions, resolves every named import against the target's
+    real export set, and verifies every referenced identifier is declared,
+    imported, or a browser global."""
+    assert check_module_graph(SRC, MODULES) == []
+
+
+@pytest.mark.parametrize("desc,fname,old,new", [
+    ("deleted closing brace", "app.js", "}", ""),
+    ("typo'd keyword", "sio.js", "function io", "functoin io"),
+    ("unterminated string", "api.js", '"/camera/status"', '"/camera/status'),
+    ("typo'd variable use", "app.js", "[alert,", "[alrrt,"),
+    ("import of missing name", "main.js", "import {",
+     "import { definitelyNotExported,"),
+    ("unclosed paren", "camera_grid.js", "getCameraStatus()", "getCameraStatus("),
+    ("undefined call target", "face_upload.js", "this.note(", "this.note(noSuchHelper(x), "),
+])
+def test_deliberate_error_fails(tmp_path, desc, fname, old, new):
+    """VERDICT r2 next #5 'done' criterion: a deliberate syntax or name error
+    in any frontend/src/*.js must fail the suite."""
+    import shutil
+
+    for m in MODULES:
+        shutil.copy(os.path.join(SRC, m), tmp_path)
+    p = tmp_path / fname
+    src = p.read_text()
+    assert old in src, f"{desc}: mutation anchor missing"
+    p.write_text(src.replace(old, new, 1))
+    try:
+        problems = check_module_graph(str(tmp_path), MODULES)
+    except ESSyntaxError:
+        return  # caught at lex/bracket level
+    assert problems, f"{desc} was not detected"
+
+
+def test_socket_event_names_no_drift():
+    """Every app event the client listens for is actually emitted by the
+    server (the reference shipped three listeners no backend ever emitted,
+    App.jsx:189-193 — regression-proof the fix)."""
+    lifecycle = {"connect", "disconnect", "connect_error", "reconnect",
+                 "reconnect_attempt", "error"}
+    listened = set()
     for mod in MODULES:
-        src = read_module(mod)
-        for m in import_re.finditer(src):
-            named = (m.group(1) or "") + "," + (m.group(3) or "")
-            default = m.group(2)
-            target = m.group(4)
-            target_path = os.path.join(SRC, target)
-            assert os.path.isfile(target_path), f"{mod} imports missing module {target}"
-            tsrc = read_module(target)
-            exported = set()
-            has_default = "export default" in tsrc
-            for em in export_re.finditer(tsrc):
-                if em.group(1):
-                    exported.add(em.group(1))
-                if em.group(2):
-                    for piece in em.group(2).split(","):
-                        piece = piece.strip()
-                        if " as " in piece:
-                            piece = piece.split(" as ")[1].strip()
-                        if piece:
-                            exported.add(piece)
-            for name in named.split(","):
-                name = name.strip()
-                if not name:
-                    continue
-                if " as " in name:
-                    name = name.split(" as ")[0].strip()
-                assert name in exported, f"{mod}: '{name}' not exported by {target}"
-            if default:
-                assert has_default, f"{mod}: {target} has no default export"
+        listened |= socket_event_names(analyze_module(os.path.join(SRC, mod)), "on")
+    listened -= lifecycle
+    assert listened, "client listens for no app events? extraction regressed"
+
+    emitted = set()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for dirpath, _dirs, files in os.walk(os.path.join(root, "frp_tpu")):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            with open(os.path.join(dirpath, f)) as fh:
+                emitted |= set(re.findall(r'emit\(\s*"([a-z_]+)"', fh.read()))
+    missing = listened - emitted
+    assert not missing, f"client listens for events no server code emits: {missing}"
 
 
 def test_reference_client_surface_present():
     """The rebuilt api.js keeps the reference's export surface
-    (reference frontend/src/api.js:187-320)."""
-    src = read_module("api.js")
+    (reference frontend/src/api.js:187-320) — parser-extracted exports."""
+    exports = analyze_module(os.path.join(SRC, "api.js")).exports
     for name in [
         "safeRequest", "createSocket", "socket", "getStatus", "getCameraStatus",
         "uploadFace", "compareFaces", "listFaces", "deleteFace", "getCameraAlerts",
@@ -135,8 +162,7 @@ def test_reference_client_surface_present():
         "uploadWithProgress", "fetchCameraSnapshot", "enqueueAsyncFaceSearch",
         "pollJob", "getAggregatedModel",
     ]:
-        assert re.search(rf"export (?:const|function|async function|\{{[^}}]*\b{name}\b)", src) or \
-            re.search(rf"export\s+\{{[^}}]*\b{name}\b", src), f"api.js missing export {name}"
+        assert name in exports, f"api.js missing export {name}"
 
 
 # ---------------------------------------------------------------------------

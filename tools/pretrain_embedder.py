@@ -45,7 +45,12 @@ def main():
         # train the invariance in (shrinks same-identity distance tails
         # measured end-to-end; see BASELINE.md parity section)
         crops = np.stack(
-            [jitter_crop(make_identity_crop(identities[l], rng), rng) for l in labels]
+            [
+                jitter_crop(
+                    make_identity_crop(identities[l], rng, difficulty="mix"), rng
+                )
+                for l in labels
+            ]
         ).astype(np.float32)
         images = (crops - 127.5) / 128.0
         m = trainer.train_step(images, labels)

@@ -35,7 +35,11 @@ def main():
     rng = np.random.default_rng(0)
     t0 = time.time()
     for step in range(args.steps):
-        images, boxes, ldms, valid = make_batch(args.batch, args.det_size, rng)
+        # "mix" spans the widened domain (pose/occlusion/light/blur tiers,
+        # synthetic.TIER_MIX) so the detector learns the hard-tier nuisances
+        images, boxes, ldms, valid = make_batch(
+            args.batch, args.det_size, rng, difficulty="mix"
+        )
         m = trainer.train_step(images, boxes, ldms, valid)
         if step % 20 == 0 or step == args.steps - 1:
             print(
