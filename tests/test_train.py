@@ -232,3 +232,46 @@ def test_stale_orbax_dir_removed_on_npz_fallback(tmp_path, monkeypatch):
     restored = cp.load_checkpoint(path, like=state1)
     assert restored is not None
     assert int(np.asarray(restored["step"])) == 2, "stale checkpoint shadowed"
+
+
+def test_sharded_training_at_100k_classes():
+    """The design note says 'C can be millions' (train/arcface.py:5-7) —
+    exercise the sharded classifier at production scale (VERDICT r2 #7):
+    C=100k on the 8-device mesh, with the memory math asserted (each device
+    holds exactly C/n_model classifier + momentum columns, NOT a replica)
+    and the step numerically equal to the unsharded step."""
+    import jax
+
+    C, D, B = 100_000, 128, 8
+    mesh = make_mesh(n_data=4, n_model=2)
+    sharded = ArcFaceTrainer(num_classes=C, mesh=mesh, learning_rate=0.05,
+                             seed=5)
+    # memory math: classifier [D, C] f32 shards over 'model'
+    w = sharded.state["params"]["classifier"]
+    assert w.shape == (D, C)
+    shard = w.addressable_shards[0]
+    assert shard.data.shape == (D, C // 2), shard.data.shape
+    assert shard.data.nbytes == D * (C // 2) * 4
+    # the momentum trace shards WITH the classifier (the OOM trap)
+    mom_leaves = [
+        leaf for path, leaf in jax.tree_util.tree_leaves_with_path(
+            sharded.state["opt_state"])
+        if hasattr(leaf, "addressable_shards") and leaf.shape == (D, C)
+    ]
+    assert mom_leaves, "classifier momentum not found in opt state"
+    for leaf in mom_leaves:
+        assert leaf.addressable_shards[0].data.shape == (D, C // 2)
+
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, size=(B, 112, 112, 3), dtype=np.uint8)
+    labels = rng.integers(0, C, size=(B,)).astype(np.int32)
+    m_sharded = sharded.train_step(images, labels)
+    assert np.isfinite(m_sharded["loss"])
+    # at init the s=64-scaled margin pushes loss well above the plain
+    # softmax's ln(C) ~= 11.5; it must still be in the sane ArcFace band
+    assert np.log(C) < m_sharded["loss"] < np.log(C) + 64, m_sharded
+
+    single = ArcFaceTrainer(num_classes=C, learning_rate=0.05, seed=5)
+    m_single = single.train_step(images, labels)
+    np.testing.assert_allclose(m_sharded["loss"], m_single["loss"],
+                               rtol=2e-2)
