@@ -62,16 +62,49 @@ def main():
     from frp_tpu.train.synthetic import render_face
 
     cams = []
+    sprites = []  # (base_region, sprite_img, y, x0, dx) per camera: one face
+    # walks horizontally each tick — realistic localized surveillance motion
+    # for the temporal-delta transfer (static background + moving subjects)
     for c in range(8):
         rgb = rng.integers(20, 110, size=(1080, 1920, 3), dtype=np.uint8)
         # crowded scene: a 4x3 grid of faces (non-overlapping by construction)
         for gy in range(3):
             for gx in range(4):
+                if gy == 1 and gx == 1:
+                    continue  # slot for the moving face sprite
                 size = float(rng.uniform(150, 240))
                 cx = gx * 480 + 240 + float(rng.uniform(-60, 60))
                 cy = gy * 360 + 180 + float(rng.uniform(-40, 40))
                 render_face(rgb, cx, cy, size, rng)
-        cams.append(np.ascontiguousarray(rgb[..., ::-1]))  # BGR like cv2
+        bgr = np.ascontiguousarray(rgb[..., ::-1])  # BGR like cv2
+        # sprite: the 12th face rendered once on its local background patch,
+        # blitted at a shifting x per tick (walking subject); the pristine
+        # base scene restores the background under the previous position
+        y0, x0, sp = 540 - 140, 720 - 140, 280
+        base = bgr.copy()
+        sprite_rgb = np.ascontiguousarray(base[y0 : y0 + sp, x0 : x0 + sp][..., ::-1]).copy()
+        render_face(sprite_rgb, sp // 2, sp // 2, 200.0, rng)
+        sprites.append(
+            (base, np.ascontiguousarray(sprite_rgb[..., ::-1]), y0, x0)
+        )
+        cams.append(bgr)
+    tick = [0]
+
+    def advance_motion():
+        """Blit each camera's walking face at its next position (restore the
+        background under the previous position from the pristine base)."""
+        t = tick[0]
+        tick[0] += 1
+        for cam, (base, sprite, y0, x0) in zip(cams, sprites):
+            sp = sprite.shape[0]
+            dx = (t % 8) * 24
+            if t > 0:
+                prev_dx = ((t - 1) % 8) * 24
+                cam[y0 : y0 + sp, x0 + prev_dx : x0 + prev_dx + sp] = base[
+                    y0 : y0 + sp, x0 + prev_dx : x0 + prev_dx + sp
+                ]
+            cam[y0 : y0 + sp, x0 + dx : x0 + dx + sp] = sprite
+        # faces count stays 12 per frame: 11 static + the walker
 
     rows = active_rows_for([f.shape[:2] for f in cams], 640) or 640  # 368 @ 16:9
 
@@ -97,6 +130,41 @@ def main():
     out = eng.fetch(eng.submit(batch, fmt=fmt))
     faces_per_batch = int(out["count"].sum())
 
+    # temporal-delta transfer (engine.submit_encoded): the wire is the
+    # bottleneck, and consecutive scans of a surveillance scene differ only
+    # where subjects move — ship changed 256-byte blocks instead of full
+    # frames. Pre-compile the delta stage at every capacity rung so the
+    # first timed window doesn't pay it.
+    from frp_tpu.engine.batching import DeltaEncoder
+
+    enc = DeltaEncoder(block_bytes=256)
+    use_delta = fmt == "yuv420" and batch.reshape(8, -1).shape[1] % 256 == 0
+    wire = {"shipped": 0, "raw_equiv": 0, "raw_batches": 0, "delta_batches": 0}
+    if use_delta:
+        eng.fetch(eng.submit_encoded(("raw", batch)))
+        nblocks = batch.reshape(8, -1).shape[1] // 256
+        for denom in DeltaEncoder.LADDER:
+            cap = nblocks // denom
+            idx = np.full((8, cap), -1, np.int32)
+            blocks = np.zeros((8, cap, 256), np.uint8)
+            eng.fetch(eng.submit_encoded(("delta", idx, blocks)))
+    # faces/batch with the walking subject present (11 static + walker)
+    advance_motion()
+    batch_m, fmt_m = host_prep()
+    out_m = eng.fetch(eng.submit(batch_m, fmt=fmt_m))
+    faces_per_batch = int(out_m["count"].sum())
+
+    def encode_next():
+        """Producer-side: advance scene motion, letterbox+pack, delta-encode.
+        Returns (payload_kind, payload, shipped_bytes, raw_bytes)."""
+        advance_motion()
+        b, f = host_prep()
+        if not use_delta:
+            return ("frames", (b, f), b.nbytes, b.nbytes)
+        e = enc.encode(b)
+        shipped = e[1].nbytes if e[0] == "raw" else e[1].nbytes + e[2].nbytes
+        return ("enc", e, shipped, b.nbytes)
+
     # model-FLOPs accounting for MFU (XLA cost analysis on the stage
     # executables at production shapes; utils/flops.py)
     from frp_tpu.utils.flops import PEAK_FLOPS_BF16, engine_stage_flops, mfu
@@ -119,33 +187,49 @@ def main():
     device_s = (time.perf_counter() - t0) / kdev
 
     def measure(n: int) -> float:
-        """Seconds per batch, pipelined; a producer thread preps the next
-        batch (letterbox + I420, cv2 releases the GIL) while the device works
-        — same structure as the serving camera loop."""
+        """Seconds per batch, pipelined; a producer thread advances scene
+        motion and preps + delta-encodes the next batch (cv2 releases the
+        GIL) while the device works — same structure as the serving camera
+        loop. Delta payloads are stateful (each encodes against the last),
+        so the producer never drops one; each window starts with a fresh
+        keyframe via enc.reset()."""
         import queue
         import threading
 
+        if use_delta:
+            enc.reset()
         q: queue.Queue = queue.Queue(maxsize=2)
         stop = threading.Event()
 
         def producer():
             while not stop.is_set():
-                item = host_prep()
-                try:
-                    q.put(item, timeout=0.5)
-                except queue.Full:
-                    pass
+                item = encode_next()
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+
+        def submit_item(item):
+            kind, payload, shipped, raw_bytes = item
+            wire["shipped"] += shipped
+            wire["raw_equiv"] += raw_bytes
+            if kind == "enc":
+                wire["raw_batches" if payload[0] == "raw" else "delta_batches"] += 1
+                return eng.submit_encoded(payload)
+            frames_b, f = payload
+            return eng.submit(frames_b, fmt=f)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         try:
-            handles = [eng.submit(batch, fmt=fmt) for _ in range(DEPTH)]
+            handles = [submit_item(q.get()) for _ in range(DEPTH)]
             t0 = time.perf_counter()
             done = 0
             while done < n:
                 for _ in range(GROUP):
-                    b, f = q.get()
-                    handles.append(eng.submit(b, fmt=f))
+                    handles.append(submit_item(q.get()))
                 eng.fetch_many(handles[:GROUP])
                 del handles[:GROUP]
                 done += GROUP
@@ -217,6 +301,15 @@ def main():
                     "mfu_device": round(mfu(flops_per_batch, device_s), 5),
                     "mfu_serving": round(mfu(flops_per_batch, per_batch), 5),
                     "peak_flops_assumed": PEAK_FLOPS_BF16,
+                    # temporal-delta wire compression (engine.submit_encoded)
+                    "delta_transfer": use_delta,
+                    "wire_shipped_mb": round(wire["shipped"] / 1e6, 2),
+                    "wire_raw_equiv_mb": round(wire["raw_equiv"] / 1e6, 2),
+                    "wire_compression_ratio": round(
+                        wire["raw_equiv"] / max(wire["shipped"], 1), 2
+                    ),
+                    "keyframe_batches": wire["raw_batches"],
+                    "delta_batches": wire["delta_batches"],
                 },
             }
         )

@@ -237,3 +237,94 @@ def unmap_results(out: dict, meta: BatchMeta) -> list[dict]:
             faces.append(face)
         results.append({"camera_id": cam, "faces": faces})
     return results
+
+
+# ---------------------------------------------------------------------------
+# temporal delta transfer (round-3: attack the ~57 MB/s relay wire)
+# ---------------------------------------------------------------------------
+
+class DeltaEncoder:
+    """Block-sparse temporal delta coding for I420 batches.
+
+    Surveillance frames are temporally redundant: between consecutive scans
+    only the regions with motion change. The device keeps the previous
+    reconstructed batch resident (engine delta stage); the host ships only
+    the CHANGED fixed-size blocks (indices + payload) — a lossless, bit-exact
+    reconstruction. Block-granular sparse update instead of RLE because a
+    scatter of [cap, K]-byte blocks maps onto the TPU as one vectorized
+    scatter, while RLE decode is inherently sequential (VERDICT r2 next #3).
+
+    Capacity ladder: the shipped arrays are jit shapes, so per-batch capacity
+    snaps to a four-rung ladder (1/16 .. 1/2 of the block count). Batches
+    changing more than half their blocks ship raw (keyframe) — also the
+    reset path for the first batch and any shape change. Wire cost per delta
+    batch = cap * (K + 4) bytes vs rows*size*3/2 raw.
+    """
+
+    LADDER = (16, 8, 4, 2)  # denominators: cap = n_blocks/16 ... /2
+
+    def __init__(self, block_bytes: int = 512):
+        self.block = int(block_bytes)
+        self._prev: np.ndarray | None = None  # [B, NBYTES] last-shipped bytes
+
+    def reset(self) -> None:
+        self._prev = None
+
+    def encode(self, batch: np.ndarray):
+        """batch: [B, rows*3/2, size] uint8 -> ("raw", batch) or
+        ("delta", idx [B, cap] int32 (-1 padded), blocks [B, cap, K] uint8).
+        Updates internal previous-frame state either way."""
+        b = batch.shape[0]
+        flat = batch.reshape(b, -1)
+        nbytes = flat.shape[1]
+        if nbytes % self.block != 0:
+            # keep device flatten/scatter shape-exact: no tail block
+            self._prev = None
+            return ("raw", batch)
+        nblocks = nbytes // self.block
+        if self._prev is None or self._prev.shape != flat.shape:
+            self._prev = np.ascontiguousarray(flat)
+            return ("raw", batch)
+        flat = np.ascontiguousarray(flat)
+        from frp_tpu.utils.native import delta_blocks as native_delta
+
+        max_changed = native_delta(flat, self._prev, self.block, 0)
+        if max_changed is None:  # numpy fallback (no native lib)
+            changed = (
+                (flat != self._prev).reshape(b, nblocks, self.block).any(axis=2)
+            )
+            max_changed = int(changed.sum(axis=1).max()) if b else 0
+        else:
+            changed = None
+        cap = None
+        for denom in self.LADDER:
+            if max_changed <= nblocks // denom:
+                cap = nblocks // denom
+                break
+        if cap is None or cap == 0:
+            self._prev = flat.copy()
+            return ("raw", batch)
+        idx = np.full((b, cap), -1, np.int32)
+        blocks = np.zeros((b, cap, self.block), np.uint8)
+        if changed is None:
+            native_delta(flat, self._prev, self.block, cap, idx, blocks)
+        else:
+            fb = flat.reshape(b, nblocks, self.block)
+            for i in range(b):
+                ci = np.flatnonzero(changed[i])
+                idx[i, : len(ci)] = ci
+                blocks[i, : len(ci)] = fb[i, ci]
+        self._prev = flat.copy()
+        return ("delta", idx, blocks)
+
+    @staticmethod
+    def apply_host(prev_flat: np.ndarray, idx: np.ndarray, blocks: np.ndarray):
+        """Reference host-side reconstruction (tests / non-device paths)."""
+        out = prev_flat.copy()
+        b, cap, k = blocks.shape
+        fb = out.reshape(b, -1, k)
+        for i in range(b):
+            for j in range(cap):
+                if idx[i, j] >= 0:
+                    fb[i, idx[i, j]] = blocks[i, j]
+        return out

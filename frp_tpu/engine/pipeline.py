@@ -371,6 +371,22 @@ def build_stages(
             "topk_distance": match["topk_distance"].reshape(b, m, -1),
         }
 
+    def delta_stage(prev_img, idx, blocks):
+        """Block-sparse temporal delta reconstruction (the device half of
+        batching.DeltaEncoder): the previous I420 batch stays RESIDENT on
+        device and the host ships only changed K-byte blocks — one
+        vectorized scatter rebuilds the current batch bit-exactly. Padded
+        slots carry idx=-1, which the scatter's OOB mode drops."""
+        b, r, s = prev_img.shape
+        k = blocks.shape[-1]
+        flat = prev_img.reshape(b, r * s)
+        fi = idx[:, :, None] * k + jnp.arange(k, dtype=idx.dtype)[None, None, :]
+
+        def upd(p, f, bl):
+            return p.at[f.reshape(-1)].set(bl.reshape(-1), mode="drop")
+
+        return jax.vmap(upd)(flat, fi, blocks).reshape(b, r, s)
+
     def ingest_stage(yuv):
         # I420 -> RGB uint8 once; detect + crop reuse the device-resident RGB.
         # Active-rows transfer (batching.build_batch_i420 active_rows): the
@@ -415,6 +431,7 @@ def build_stages(
         )
 
     return {
+        "delta": jax.jit(delta_stage),
         "ingest": jax.jit(ingest_stage),
         "detect": jax.jit(detect_stage),
         "crop": jax.jit(crop_stage),
@@ -529,6 +546,9 @@ class RecognitionEngine:
             compute_dtype=self.cfg.compute_dtype,
             embedder_forward=self._embedder_forward,
         )
+        # device-resident previous I420 batch for delta transfer
+        # (submit_encoded); None until the first raw keyframe
+        self._delta_prev = None
 
     def _load_calibration(self) -> float:
         """Distance-scale constant from weights_dir/calibration.json (written
@@ -830,6 +850,41 @@ class RecognitionEngine:
         out, gal_names = self._run_stages(
             self._put_frames(frames), tolerance, fmt, packed
         )
+        return out, b, packed, gal_names, time.perf_counter()
+
+    def submit_encoded(
+        self,
+        enc,
+        tolerance: float | None = None,
+        packed: bool = True,
+    ):
+        """Submit a DeltaEncoder.encode() payload (I420 temporal delta
+        transfer). "raw" keyframes upload the full batch and refresh the
+        device-resident previous batch; "delta" payloads ship only changed
+        blocks and reconstruct on device (bit-exact, engine delta stage) —
+        the host->device wire is the serving bottleneck (~57 MB/s relay,
+        CLAUDE.md gotcha 8b), so static surveillance backgrounds stop being
+        re-shipped every scan. Returns a fetch()/fetch_many() handle."""
+        tolerance = self.cfg.face_tolerance if tolerance is None else tolerance
+        if enc[0] == "raw":
+            frames_dev = self._put_frames(
+                np.ascontiguousarray(enc[1], dtype=np.uint8)
+            )
+        else:
+            _, idx, blocks = enc
+            if self._delta_prev is None:
+                raise RuntimeError(
+                    "delta payload before any raw keyframe (encoder/engine "
+                    "state out of sync — call DeltaEncoder.reset())"
+                )
+            if self.mesh is not None:
+                sh = NamedSharding(self.mesh, P("data"))
+                idx = jax.device_put(np.ascontiguousarray(idx), sh)
+                blocks = jax.device_put(np.ascontiguousarray(blocks), sh)
+            frames_dev = self._stages["delta"](self._delta_prev, idx, blocks)
+        self._delta_prev = frames_dev
+        b = int(frames_dev.shape[0])
+        out, gal_names = self._run_stages(frames_dev, tolerance, "yuv420", packed)
         return out, b, packed, gal_names, time.perf_counter()
 
     def fetch(self, handle):

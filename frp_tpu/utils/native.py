@@ -64,7 +64,7 @@ def get_framepack():
                 version = lib.framepack_version()
             except AttributeError:  # pre-versioning build
                 version = 0
-            if version < 2 and _build():
+            if version < 3 and _build():
                 # dlopen caches by path: re-CDLL(_LIB_PATH) would return the
                 # OLD mapping and the version check would fail forever. Load
                 # the rebuilt library through a unique copy instead.
@@ -91,7 +91,19 @@ def get_framepack():
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.c_int,
             ]
-            assert lib.framepack_version() == 2
+            lib.framepack_delta_blocks.restype = ctypes.c_int
+            lib.framepack_delta_blocks.argtypes = [
+                ctypes.c_void_p,   # cur
+                ctypes.c_void_p,   # prev
+                ctypes.c_int,      # n
+                ctypes.c_long,     # frame_bytes
+                ctypes.c_int,      # block
+                ctypes.c_int,      # cap
+                ctypes.c_void_p,   # idx out
+                ctypes.c_void_p,   # blocks out
+                ctypes.c_int,      # n_threads
+            ]
+            assert lib.framepack_version() == 3
             _lib = lib
         except (OSError, AttributeError, AssertionError) as e:
             logger.info("framepack load failed (%s); using cv2 path", e)
@@ -135,3 +147,42 @@ def letterbox_i420_batch(
         n_threads,
     )
     return out, scales, offsets
+
+
+def delta_blocks(
+    cur: np.ndarray,
+    prev: np.ndarray,
+    block: int,
+    cap: int,
+    idx: np.ndarray | None = None,
+    blocks: np.ndarray | None = None,
+    n_threads: int = 4,
+) -> int | None:
+    """Native block-sparse temporal delta (framepack v3).
+
+    cur/prev: [B, NBYTES] uint8 (NBYTES % block == 0). With cap == 0 this is
+    a count-only pass returning the max changed-block count across frames;
+    with cap > 0 it fills idx [B, cap] int32 (-1 padded) and blocks
+    [B, cap, block] uint8. Returns None when the native library is
+    unavailable (caller uses the numpy fallback in engine.batching)."""
+    lib = get_framepack()
+    if lib is None:
+        return None
+    b, nbytes = cur.shape
+    assert prev.shape == cur.shape and nbytes % block == 0
+    if cap > 0:
+        assert idx is not None and blocks is not None
+        assert idx.shape == (b, cap) and blocks.shape == (b, cap, block)
+    return int(
+        lib.framepack_delta_blocks(
+            cur.ctypes.data_as(ctypes.c_void_p),
+            prev.ctypes.data_as(ctypes.c_void_p),
+            b,
+            nbytes,
+            block,
+            cap,
+            idx.ctypes.data_as(ctypes.c_void_p) if cap > 0 else None,
+            blocks.ctypes.data_as(ctypes.c_void_p) if cap > 0 else None,
+            n_threads,
+        )
+    )

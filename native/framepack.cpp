@@ -148,6 +148,66 @@ void framepack_letterbox_i420(const uint8_t** frames, const int* heights,
                                   scales, offsets, n_threads);
 }
 
-int framepack_version() { return 2; }
+// v3: block-sparse temporal delta coding (round-3 wire compression).
+//
+// Surveillance batches are temporally redundant; the device keeps the
+// previous reconstructed batch resident and the host ships only CHANGED
+// fixed-size blocks. This kernel compares cur vs prev per `block`-byte
+// block and emits (block index, block payload) pairs per frame.
+//
+//   cur, prev: n * frame_bytes contiguous byte batches (frame_bytes must be
+//              a multiple of block).
+//   cap == 0:  count-only pass — returns the max changed-block count across
+//              frames without writing outputs (the host picks a capacity
+//              rung from it).
+//   cap  > 0:  fills idx [n, cap] (int32, -1 padded) and blocks
+//              [n, cap, block]; returns the max changed count (which may
+//              exceed cap — the host must treat that as "ship raw").
+// Parallel across frames with std::thread.
+int framepack_delta_blocks(const uint8_t* cur, const uint8_t* prev, int n,
+                           long frame_bytes, int block, int cap, int32_t* idx,
+                           uint8_t* blocks, int n_threads) {
+    const long nblocks = frame_bytes / block;
+    std::vector<int> counts(n, 0);
+    auto one = [&](int i) {
+        const uint8_t* c = cur + i * frame_bytes;
+        const uint8_t* p = prev + i * frame_bytes;
+        int32_t* id = (cap > 0) ? idx + static_cast<long>(i) * cap : nullptr;
+        uint8_t* bl = (cap > 0)
+                          ? blocks + static_cast<long>(i) * cap * block
+                          : nullptr;
+        if (id != nullptr) {
+            for (int j = 0; j < cap; ++j) id[j] = -1;
+        }
+        int found = 0;
+        for (long b = 0; b < nblocks; ++b) {
+            if (std::memcmp(c + b * block, p + b * block, block) != 0) {
+                if (id != nullptr && found < cap) {
+                    id[found] = static_cast<int32_t>(b);
+                    std::memcpy(bl + static_cast<long>(found) * block,
+                                c + b * block, block);
+                }
+                ++found;
+            }
+        }
+        counts[i] = found;
+    };
+    if (n_threads <= 1 || n <= 1) {
+        for (int i = 0; i < n; ++i) one(i);
+    } else {
+        std::vector<std::thread> workers;
+        std::atomic<int> next{0};
+        const int t = std::min(n_threads, n);
+        for (int k = 0; k < t; ++k) {
+            workers.emplace_back([&]() {
+                for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) one(i);
+            });
+        }
+        for (auto& w : workers) w.join();
+    }
+    return *std::max_element(counts.begin(), counts.end());
+}
+
+int framepack_version() { return 3; }
 
 }  // extern "C"

@@ -1,0 +1,110 @@
+"""Temporal delta transfer (round-3 wire compression, VERDICT r2 next #3):
+host block-sparse encoder (native framepack v3 / numpy fallback) + device
+reconstruction must be bit-exact against shipping the raw batch."""
+
+import numpy as np
+import pytest
+
+from frp_tpu.config import load_config
+from frp_tpu.engine.batching import (
+    DeltaEncoder,
+    active_rows_for,
+    build_batch_i420,
+)
+from frp_tpu.engine.pipeline import RecognitionEngine
+
+DET = 128
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = load_config(det_size=DET, max_faces_per_frame=4, pre_nms_topk=64,
+                      det_conf_threshold=0.3)
+    return RecognitionEngine(cfg, seed=0)
+
+
+def _batches(n=3, b=2, move=True):
+    """A sequence of I420 batches from scenes with localized motion."""
+    from frp_tpu.train.synthetic import render_face
+
+    rng = np.random.default_rng(7)
+    bg = [rng.integers(20, 110, (144, 256, 3), dtype=np.uint8) for _ in range(b)]
+    seq = []
+    for t in range(n):
+        frames = {}
+        for i in range(b):
+            img = bg[i].copy()
+            if move:
+                render_face(img, 80 + 8 * t, 72, 28.0,
+                            np.random.default_rng(i * 10))
+            frames[i] = img[..., ::-1].copy()  # BGR
+        rows = active_rows_for([f.shape[:2] for f in frames.values()], DET)
+        batch, _ = build_batch_i420(frames, DET, active_rows=rows)
+        seq.append(batch)
+    return seq
+
+
+def test_encoder_keyframe_then_delta_roundtrip():
+    seq = _batches(3)
+    enc = DeltaEncoder(block_bytes=128)
+    k0 = enc.encode(seq[0])
+    assert k0[0] == "raw"
+    prev = seq[0].reshape(seq[0].shape[0], -1).copy()
+    for t in (1, 2):
+        out = enc.encode(seq[t])
+        assert out[0] == "delta", "localized motion must not force a keyframe"
+        _, idx, blocks = out
+        rec = DeltaEncoder.apply_host(prev, idx, blocks)
+        np.testing.assert_array_equal(
+            rec, seq[t].reshape(seq[t].shape[0], -1))
+        prev = rec
+        # wire savings: delta payload strictly smaller than the raw batch
+        assert idx.nbytes + blocks.nbytes < seq[t].nbytes
+
+
+def test_encoder_full_change_ships_raw():
+    enc = DeltaEncoder(block_bytes=128)
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 255, (2, 96 * 3 // 2, 128), dtype=np.uint8)
+    b = rng.integers(0, 255, (2, 96 * 3 // 2, 128), dtype=np.uint8)
+    assert enc.encode(a)[0] == "raw"
+    assert enc.encode(b)[0] == "raw"  # everything changed -> keyframe
+    assert enc.encode(b)[0] == "delta"  # nothing changed -> tiny delta
+
+
+def test_encoder_shape_change_resets():
+    enc = DeltaEncoder(block_bytes=128)
+    a = np.zeros((2, 96 * 3 // 2, 128), np.uint8)
+    assert enc.encode(a)[0] == "raw"
+    bigger = np.zeros((3, 96 * 3 // 2, 128), np.uint8)
+    assert enc.encode(bigger)[0] == "raw"
+
+
+def test_engine_delta_path_equals_raw_path(engine):
+    """submit_encoded over a keyframe + deltas must produce identical
+    results to processing each raw batch directly — the device
+    reconstruction is bit-exact."""
+    seq = _batches(3)
+    enc = DeltaEncoder(block_bytes=128)
+    for t, batch in enumerate(seq):
+        handle = engine.submit_encoded(enc.encode(batch))
+        got = engine.fetch(handle)
+        ref = engine.process_frames(batch, fmt="yuv420")
+        np.testing.assert_array_equal(got["valid"], ref["valid"])
+        np.testing.assert_allclose(got["boxes"], ref["boxes"], atol=1e-3)
+        np.testing.assert_allclose(
+            got["best_distance"][got["valid"]],
+            ref["best_distance"][ref["valid"]], atol=1e-3)
+
+
+def test_engine_delta_before_keyframe_raises(engine):
+    enc = DeltaEncoder(block_bytes=128)
+    seq = _batches(2)
+    enc.encode(seq[0])
+    delta = enc.encode(seq[1])
+    assert delta[0] == "delta"
+    fresh_cfg = load_config(det_size=DET, max_faces_per_frame=4,
+                            pre_nms_topk=64)
+    fresh = RecognitionEngine(fresh_cfg, seed=0)
+    with pytest.raises(RuntimeError, match="keyframe"):
+        fresh.submit_encoded(delta)
