@@ -81,6 +81,13 @@ def register(router, ctx):
     # alerts when the loop is on
     scan_mutex = threading.Lock()
     last_scan = {"t": 0.0, "digest": None}  # freshest non-dry scan result
+    # temporal-delta transfer state for the scan loop (cfg.delta_transfer):
+    # only changed I420 blocks cross the host->device wire between scans
+    # (engine.submit_encoded; bit-exact; keyframes on shape change).
+    # Guarded by scan_mutex with everything else.
+    from frp_tpu.engine.batching import DeltaEncoder
+
+    scan_delta = DeltaEncoder(block_bytes=256)
 
     def _get_camera(request: Request):
         try:
@@ -138,7 +145,20 @@ def register(router, ctx):
             )
         else:
             batch, meta = build_batch(frames, ctx.cfg.det_size)
-        out = ctx.engine.process_frames(batch, tolerance=threshold, fmt=fmt)
+        if (
+            fmt == "yuv420"
+            and getattr(ctx.cfg, "delta_transfer", False)
+            and hasattr(ctx.engine, "submit_encoded")
+        ):
+            t_dev = time.perf_counter()
+            out = ctx.engine.fetch(
+                ctx.engine.submit_encoded(
+                    scan_delta.encode(batch), tolerance=threshold, packed=False
+                )
+            )
+            out["processing_time"] = time.perf_counter() - t_dev
+        else:
+            out = ctx.engine.process_frames(batch, tolerance=threshold, fmt=fmt)
         per_camera = unmap_results(out, meta)
         if dry:  # shapes compiled; skip every side effect
             return {

@@ -56,6 +56,10 @@ class Config:
     # --- cameras (reference main.py:75-81, camera.py) ---
     frame_skip: int = 1                  # FRAME_SKIP
     camera_scan_interval: float = 1.0    # CAMERA_SCAN_INTERVAL
+    # temporal-delta frame transfer (engine.submit_encoded): ship only
+    # changed blocks of the I420 batch between scans — bit-exact, falls
+    # back to raw keyframes automatically (engine/batching.DeltaEncoder)
+    delta_transfer: bool = True          # FRP_DELTA_TRANSFER
     camera_health_interval: float = 30.0 # HEALTH_CHECK_INTERVAL (health_checks.py)
 
     # --- alerts (reference alert_service.py:47-67) ---
@@ -129,6 +133,7 @@ _ENV_MAP = {
     "compute_dtype": ("COMPUTE_DTYPE", str),
     "frame_skip": ("FRAME_SKIP", int),
     "camera_scan_interval": ("CAMERA_SCAN_INTERVAL", float),
+    "delta_transfer": ("FRP_DELTA_TRANSFER", bool),
     "camera_health_interval": ("HEALTH_CHECK_INTERVAL", float),
     "alert_cooldown": ("ALERT_COOLDOWN", float),
     "email_cooldown": ("EMAIL_COOLDOWN", float),
