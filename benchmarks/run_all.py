@@ -80,12 +80,36 @@ def pipelined(eng, batch, n=30, depth=6, group=3):
     return (time.perf_counter() - t0) / (n + depth)
 
 
+def headline_attempts(n: int) -> list[dict]:
+    """Run bench.py --once in n fresh subprocesses (fresh relay draw each)
+    and return their JSON results — the ONE run set both the best and the
+    median quoted anywhere in the docs must come from (VERDICT r2 #8)."""
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    results = []
+    for _ in range(n):
+        proc = subprocess.run(
+            [sys.executable, os.path.join(root, "bench.py"), "--once"],
+            capture_output=True, text=True, timeout=900,
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                results.append(json.loads(line))
+                break
+    return results
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="benchmarks/RESULTS.md")
+    p.add_argument("--canonical", default="benchmarks/canonical.json")
+    p.add_argument("--bench-attempts", type=int, default=4,
+                   help="headline bench.py runs for canonical.json (0 skips)")
     args = p.parse_args()
     rng = np.random.default_rng(0)
     results = []
+    canonical: dict = {"date": time.strftime("%Y-%m-%d"), "configs": {}}
 
     eng = build_engine()
 
@@ -103,6 +127,9 @@ def main():
         ("1. single still image (detect+embed+match, 100-face gallery)",
          f"p50 latency {p50:.1f} ms, faces found {int(out['count'].sum())}")
     )
+    canonical["configs"]["still_image"] = {
+        "p50_ms": round(p50, 1), "best_ms": round(min(lats) * 1000, 1)
+    }
 
     # --- config 2: single 720p stream (depth 8 / group 4: the B=1 sweet
     # spot measured in benchmarks/profile_b1.py; ~8-frame pipeline latency) ---
@@ -117,6 +144,9 @@ def main():
          f"({per * 1000:.1f} ms/frame pipelined, depth 8, ~{8 * per * 1000:.0f} ms "
          "pipeline latency)")
     )
+    canonical["configs"]["stream_720p"] = {
+        "fps_best": round(1 / per, 1), "fps_median": round(1 / per_med, 1)
+    }
 
     # --- config 3: 4x1080p streams + tracking ---
     from frp_tpu.platform.tracking import TrackingService
@@ -144,6 +174,10 @@ def main():
          f"{faces4 / per4:.0f} faces/s, "
          f"host tracking {track_ms:.1f} ms per {faces4}-face batch")
     )
+    canonical["configs"]["streams_4x1080p"] = {
+        "fps_best": round(4 / per4, 1), "fps_median": round(4 / per4_med, 1),
+        "faces_per_sec_best": round(faces4 / per4, 0),
+    }
 
     # --- config 4: co-batched spoof classification ---
     # spoof rides the same dispatch; isolate by comparing with_spoof on/off
@@ -185,6 +219,39 @@ def main():
          f"{fed_ms:.1f} ms host combine ({params_m:.1f}M param-updates); "
          "mesh-psum path verified equal in tests")
     )
+    canonical["configs"]["fedavg"] = {"combine_ms": round(fed_ms, 1)}
+
+    # --- headline: best + median from ONE bench.py run set ---
+    if args.bench_attempts > 0:
+        attempts = headline_attempts(args.bench_attempts)
+        if attempts:
+            vals = sorted(a["value"] for a in attempts)
+            med = vals[len(vals) // 2] if len(vals) % 2 else (
+                (vals[len(vals) // 2 - 1] + vals[len(vals) // 2]) / 2)
+            best = max(attempts, key=lambda a: a["value"])
+            canonical["headline"] = {
+                "faces_per_sec_best": round(max(vals), 1),
+                "faces_per_sec_median": round(med, 1),
+                "vs_baseline_best": round(max(vals) / 33.3, 1),
+                "vs_baseline_median": round(med / 33.3, 1),
+                "attempts": len(attempts),
+                "values": [round(v, 1) for v in vals],
+                "p50_detection_to_alert_ms_best_run": best["detail"].get(
+                    "p50_detection_to_alert_ms"),
+                "mfu_device_best_run": best["detail"].get("mfu_device"),
+                "mfu_serving_best_run": best["detail"].get("mfu_serving"),
+                "wire_compression_best_run": best["detail"].get(
+                    "wire_compression_ratio"),
+            }
+            results.append(
+                ("headline (bench.py, 8x1080p, same run set)",
+                 f"best {max(vals):.0f} / median {med:.0f} faces/s = "
+                 f"{max(vals) / 33.3:.1f}x / {med / 33.3:.1f}x baseline "
+                 f"({len(attempts)} attempts)")
+            )
+    with open(args.canonical, "w") as f:
+        json.dump(canonical, f, indent=1)
+    print(f"wrote {args.canonical}")
 
     lines = [
         "# BASELINE.json config measurements",

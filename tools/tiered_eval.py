@@ -1,0 +1,102 @@
+"""Difficulty-tiered detector recall + threshold-transfer ROC (VERDICT r2 #2).
+
+For each nuisance tier of the widened synthetic domain (train/synthetic.py
+TIERS: 0 = near-frontal/clean, 1 = moderate pose/occlusion/light,
+2 = hard: yaw to +-60 deg, 30% occlusion, backlight, motion blur):
+
+* detector recall on one-face 1080p scenes through the full serving path;
+* end-to-end ROC (detect -> align -> warp -> embed distances) at the
+  reference's 0.4/0.6 decision constants;
+* crop-level ROC on aligned 112-crops with alignment jitter.
+
+Writes weights/tiered_eval.json (quoted by BASELINE.md; drift-checked by
+tests) and prints the markdown table. Identities are held out from the
+training range (seeds >= 9000 vs 0..63).
+
+Usage: python tools/tiered_eval.py [--out weights/tiered_eval.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+SEED = 9300  # disjoint from training (0..63), calibration (9000..), parity (9500..)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="weights/tiered_eval.json")
+    p.add_argument("--identities", type=int, default=20)
+    p.add_argument("--variants", type=int, default=4)
+    args = p.parse_args()
+
+    from frp_tpu.config import load_config
+    from frp_tpu.engine.pipeline import RecognitionEngine
+    from frp_tpu.train.pairs import (
+        build_pair_crops,
+        build_scene_set,
+        embed_crops,
+        embed_scenes,
+        jitter_crop,
+        pair_distances,
+        threshold_metrics,
+    )
+
+    eng = RecognitionEngine(load_config(det_size=640, max_faces_per_frame=16))
+    rng = np.random.default_rng(SEED)
+    out: dict = {"seed": SEED, "identities": args.identities,
+                 "variants": args.variants, "tiers": {}}
+    for tier in (0, 1, 2):
+        scenes, slabels = build_scene_set(
+            args.identities, args.variants, SEED, difficulty=tier
+        )
+        emb_e2e, lab_e2e = embed_scenes(eng, scenes, slabels)
+        recall = len(lab_e2e) / len(slabels)
+        tier_out: dict = {"detector_recall": round(recall, 4),
+                          "scenes": len(slabels), "detected": len(lab_e2e)}
+        # e2e ROC needs enough detected identity pairs
+        try:
+            same, diff = pair_distances(emb_e2e, lab_e2e)
+            tier_out["e2e"] = threshold_metrics(same, diff)
+        except ValueError as e:
+            tier_out["e2e"] = {"error": str(e)}
+        crops, clabels = build_pair_crops(
+            args.identities, args.variants, SEED, difficulty=tier
+        )
+        crops = np.stack([jitter_crop(c, rng) for c in crops])
+        csame, cdiff = pair_distances(embed_crops(crops), clabels)
+        tier_out["crop"] = threshold_metrics(csame, cdiff)
+        out["tiers"][str(tier)] = tier_out
+        print(f"tier {tier}: recall={recall:.3f} "
+              f"e2e tpr@0.6={tier_out['e2e'].get('tpr@0.6')} "
+              f"fpr@0.6={tier_out['e2e'].get('fpr@0.6')}")
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\nwrote {args.out}\n")
+
+    # markdown table for BASELINE.md
+    print("| Tier | Detector recall | e2e TPR@0.6 | e2e FPR@0.6 | "
+          "e2e AUC | crop TPR@0.6 | crop FPR@0.6 |")
+    print("|---|---|---|---|---|---|---|")
+    names = {0: "0 easy (round-2 domain)", 1: "1 moderate", 2: "2 hard"}
+    for tier in (0, 1, 2):
+        t = out["tiers"][str(tier)]
+        e, c = t["e2e"], t["crop"]
+        print(f"| {names[tier]} | {t['detector_recall']:.3f} | "
+              f"{e.get('tpr@0.6', float('nan')):.3f} | "
+              f"{e.get('fpr@0.6', float('nan')):.3f} | "
+              f"{e.get('auc', float('nan')):.4f} | "
+              f"{c['tpr@0.6']:.3f} | {c['fpr@0.6']:.3f} |")
+
+
+if __name__ == "__main__":
+    main()
