@@ -5,8 +5,9 @@ The reference's decision constants (0.6 accept / 0.4 high-confidence /
 distance distribution. Any other embedder separates identities on its own
 scale; this tool measures that scale on a labeled pair set of held-out
 procedural identities and derives ONE multiplicative constant s such that
-the equal-error-rate threshold lands at 0.5 — the center of the reference's
-band structure (its confidence sigmoid is centered there,
+the raw distance where the false-accept rate is 1% lands at 0.6 — the
+reference's accept threshold is exactly such a low-FPR operating point for
+dlib (its confidence sigmoid then centers near 0.5,
 face_service.py:497-506). The engine multiplies embeddings by s at the
 embed stage, so every downstream euclidean distance (gallery match, dup
 check, clustering, kNN) inherits reference geometry.
@@ -56,22 +57,35 @@ def main():
     # reported but the shipped scale comes from the end-to-end populations
     # (crop-level calibration measured ~2x optimistic: alignment noise).
     eng = RecognitionEngine(load_config(det_size=640, max_faces_per_frame=16))
-    scenes, slabels = build_scene_set(args.identities, args.variants, CALIB_SEED)
+    # calibrate on the widened "mix" domain (synthetic.TIER_MIX) — the scale
+    # must center EER for the traffic the platform actually serves, easy and
+    # hard tiers together (tools/tiered_eval.py then reports per-tier ROC)
+    scenes, slabels = build_scene_set(
+        args.identities, args.variants, CALIB_SEED, difficulty="mix"
+    )
     emb_e2e, lab_e2e = embed_scenes(eng, scenes, slabels, apply_calibration=False)
     same, diff = pair_distances(emb_e2e, lab_e2e)
 
-    # EER threshold on RAW end-to-end distances -> maps to 0.5 (band center);
-    # same sweep implementation as the reported metrics (pairs.eer_sweep)
-    tau, _eer = eer_sweep(same, diff)
-    scale = 0.5 / tau
+    # The reference's 0.6 accept threshold on dlib is a LOW-FPR operating
+    # point (~1% false accepts on standard benchmarks), not the EER center —
+    # so the scale maps the raw distance where FPR = 1% onto 0.6. (The old
+    # EER-to-0.5 mapping is faithful only when separation is near-perfect:
+    # on the widened nuisance domain it drags the bulk of the
+    # different-identity tail under 0.6.) EER is still reported.
+    tau_eer, _eer = eer_sweep(same, diff)
+    tau_fpr = float(np.quantile(diff, 0.01))
+    scale = 0.6 / tau_fpr
 
-    crops, clabels = build_pair_crops(args.identities, 4, CALIB_SEED)
+    crops, clabels = build_pair_crops(
+        args.identities, 4, CALIB_SEED, difficulty="mix"
+    )
     emb_crop = embed_crops(crops, apply_calibration=False)
     csame, cdiff = pair_distances(emb_crop, clabels)
 
     payload = {
         "distance_scale": round(scale, 6),
-        "eer_threshold_raw": round(tau, 4),
+        "fpr1_threshold_raw": round(tau_fpr, 4),
+        "eer_threshold_raw": round(tau_eer, 4),
         "calib_seed": CALIB_SEED,
         "identities": args.identities,
         "variants": args.variants,
