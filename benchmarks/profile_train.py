@@ -49,7 +49,21 @@ def main():
         trainer.flush_metrics()
         jax.block_until_ready(trainer.state["params"])
         dt = (time.perf_counter() - t0) / steps
-        print(f"{batch:>6} {'u8+pipelined':>14} {dt*1e3:>9.1f} {batch/dt:>9.0f}")
+        # train-step MFU (VERDICT r2 #4): XLA cost analysis of the compiled
+        # step vs the v5e bf16 peak
+        from frp_tpu.utils.flops import PEAK_FLOPS_BF16, compiled_flops, mfu
+
+        import jax.numpy as jnp
+
+        fl = compiled_flops(
+            trainer._step, trainer.state, jnp.asarray(images_u8),
+            jnp.asarray(labels),
+        )
+        m = mfu(fl, dt) if fl else 0.0
+        print(
+            f"{batch:>6} {'u8+pipelined':>14} {dt*1e3:>9.1f} {batch/dt:>9.0f}"
+            f"   mfu={m:.3f}" + (f" ({fl/1e9:.1f} GF/step)" if fl else "")
+        )
 
 
 if __name__ == "__main__":

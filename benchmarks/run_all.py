@@ -111,6 +111,12 @@ def main():
     results = []
     canonical: dict = {"date": time.strftime("%Y-%m-%d"), "configs": {}}
 
+    # Headline attempts run FIRST, before this process touches the TPU:
+    # the chip admits one process at a time, so the bench.py subprocesses
+    # must each grab and release it while the parent has not initialized
+    # a backend yet.
+    attempts = headline_attempts(args.bench_attempts) if args.bench_attempts else []
+
     eng = build_engine()
 
     # --- config 1: single still image, blocking latency ---
@@ -221,34 +227,33 @@ def main():
     )
     canonical["configs"]["fedavg"] = {"combine_ms": round(fed_ms, 1)}
 
-    # --- headline: best + median from ONE bench.py run set ---
-    if args.bench_attempts > 0:
-        attempts = headline_attempts(args.bench_attempts)
-        if attempts:
-            vals = sorted(a["value"] for a in attempts)
-            med = vals[len(vals) // 2] if len(vals) % 2 else (
-                (vals[len(vals) // 2 - 1] + vals[len(vals) // 2]) / 2)
-            best = max(attempts, key=lambda a: a["value"])
-            canonical["headline"] = {
-                "faces_per_sec_best": round(max(vals), 1),
-                "faces_per_sec_median": round(med, 1),
-                "vs_baseline_best": round(max(vals) / 33.3, 1),
-                "vs_baseline_median": round(med / 33.3, 1),
-                "attempts": len(attempts),
-                "values": [round(v, 1) for v in vals],
-                "p50_detection_to_alert_ms_best_run": best["detail"].get(
-                    "p50_detection_to_alert_ms"),
-                "mfu_device_best_run": best["detail"].get("mfu_device"),
-                "mfu_serving_best_run": best["detail"].get("mfu_serving"),
-                "wire_compression_best_run": best["detail"].get(
-                    "wire_compression_ratio"),
-            }
-            results.append(
-                ("headline (bench.py, 8x1080p, same run set)",
-                 f"best {max(vals):.0f} / median {med:.0f} faces/s = "
-                 f"{max(vals) / 33.3:.1f}x / {med / 33.3:.1f}x baseline "
-                 f"({len(attempts)} attempts)")
-            )
+    # --- headline: best + median from ONE bench.py run set (measured
+    # above, before the parent claimed the chip) ---
+    if attempts:
+        vals = sorted(a["value"] for a in attempts)
+        med = vals[len(vals) // 2] if len(vals) % 2 else (
+            (vals[len(vals) // 2 - 1] + vals[len(vals) // 2]) / 2)
+        best = max(attempts, key=lambda a: a["value"])
+        canonical["headline"] = {
+            "faces_per_sec_best": round(max(vals), 1),
+            "faces_per_sec_median": round(med, 1),
+            "vs_baseline_best": round(max(vals) / 33.3, 1),
+            "vs_baseline_median": round(med / 33.3, 1),
+            "attempts": len(attempts),
+            "values": [round(v, 1) for v in vals],
+            "p50_detection_to_alert_ms_best_run": best["detail"].get(
+                "p50_detection_to_alert_ms"),
+            "mfu_device_best_run": best["detail"].get("mfu_device"),
+            "mfu_serving_best_run": best["detail"].get("mfu_serving"),
+            "wire_compression_best_run": best["detail"].get(
+                "wire_compression_ratio"),
+        }
+        results.append(
+            ("headline (bench.py, 8x1080p, same run set)",
+             f"best {max(vals):.0f} / median {med:.0f} faces/s = "
+             f"{max(vals) / 33.3:.1f}x / {med / 33.3:.1f}x baseline "
+             f"({len(attempts)} attempts)")
+        )
     with open(args.canonical, "w") as f:
         json.dump(canonical, f, indent=1)
     print(f"wrote {args.canonical}")
