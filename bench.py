@@ -237,6 +237,11 @@ def main():
             return (time.perf_counter() - t0) / (n + DEPTH)
         finally:
             stop.set()
+            # join BEFORE the next window's enc.reset(): an in-flight
+            # encode() finishing after the reset would re-seed _prev with
+            # frames that were never submitted and chain the next window's
+            # deltas against them
+            t.join(timeout=5.0)
 
     # the serving runtime's relay has bistable per-process dispatch cost;
     # best window reports the achievable steady state, median the typical one

@@ -87,16 +87,35 @@ def headline_attempts(n: int) -> list[dict]:
     import subprocess
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    results = []
-    for _ in range(n):
-        proc = subprocess.run(
-            [sys.executable, os.path.join(root, "bench.py"), "--once"],
-            capture_output=True, text=True, timeout=900,
-        )
+    results: list[dict] = []
+    failed = 0
+    for k in range(n):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(root, "bench.py"), "--once"],
+                capture_output=True, text=True, timeout=1200,
+            )
+        except subprocess.TimeoutExpired:
+            # a hung attempt (cold compile + wedged relay) must not abort
+            # the whole measurement run
+            print(f"headline attempt {k + 1}/{n}: timed out, skipped",
+                  file=sys.stderr)
+            failed += 1
+            continue
+        got = None
         for line in reversed(proc.stdout.strip().splitlines()):
             if line.startswith("{"):
-                results.append(json.loads(line))
+                got = json.loads(line)
                 break
+        if got is None:
+            print(f"headline attempt {k + 1}/{n}: no result "
+                  f"(rc={proc.returncode}); stderr tail: "
+                  f"{proc.stderr[-300:]}", file=sys.stderr)
+            failed += 1
+            continue
+        results.append(got)
+    for r in results:
+        r["_attempts_failed"] = failed  # recorded into canonical honestly
     return results
 
 
@@ -240,6 +259,7 @@ def main():
             "vs_baseline_best": round(max(vals) / 33.3, 1),
             "vs_baseline_median": round(med / 33.3, 1),
             "attempts": len(attempts),
+            "attempts_failed": attempts[0].get("_attempts_failed", 0),
             "values": [round(v, 1) for v in vals],
             "p50_detection_to_alert_ms_best_run": best["detail"].get(
                 "p50_detection_to_alert_ms"),

@@ -151,11 +151,21 @@ def register(router, ctx):
             and hasattr(ctx.engine, "submit_encoded")
         ):
             t_dev = time.perf_counter()
-            out = ctx.engine.fetch(
-                ctx.engine.submit_encoded(
-                    scan_delta.encode(batch), tolerance=threshold, packed=False
+            try:
+                out = ctx.engine.fetch(
+                    ctx.engine.submit_encoded(
+                        scan_delta.encode(batch), tolerance=threshold,
+                        packed=False,
+                    )
                 )
-            )
+            except Exception:
+                # encode() already advanced the encoder's previous-frame
+                # state; a failed submit leaves the device's resident batch
+                # behind it, and every later delta would silently
+                # reconstruct stale pixels. Reset -> next scan ships a raw
+                # keyframe, which also refreshes the device state.
+                scan_delta.reset()
+                raise
             out["processing_time"] = time.perf_counter() - t_dev
         else:
             out = ctx.engine.process_frames(batch, tolerance=threshold, fmt=fmt)

@@ -283,7 +283,11 @@ class DeltaEncoder:
             return ("raw", batch)
         nblocks = nbytes // self.block
         if self._prev is None or self._prev.shape != flat.shape:
-            self._prev = np.ascontiguousarray(flat)
+            # COPY, never a view: ascontiguousarray of an already-contiguous
+            # batch aliases the caller's buffer — a caller reusing a
+            # preallocated batch would then compare each frame against
+            # itself and ship empty deltas forever
+            self._prev = flat.copy()
             return ("raw", batch)
         flat = np.ascontiguousarray(flat)
         from frp_tpu.utils.native import delta_blocks as native_delta

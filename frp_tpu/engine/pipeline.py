@@ -376,11 +376,16 @@ def build_stages(
         batching.DeltaEncoder): the previous I420 batch stays RESIDENT on
         device and the host ships only changed K-byte blocks — one
         vectorized scatter rebuilds the current batch bit-exactly. Padded
-        slots carry idx=-1, which the scatter's OOB mode drops."""
+        slots carry idx=-1 and are remapped PAST the buffer end before the
+        scatter: JAX normalizes negative indices (numpy wrap semantics)
+        BEFORE the out-of-bounds check, so a raw -1 under mode="drop" would
+        silently overwrite the LAST block of every frame with zeros."""
         b, r, s = prev_img.shape
         k = blocks.shape[-1]
-        flat = prev_img.reshape(b, r * s)
-        fi = idx[:, :, None] * k + jnp.arange(k, dtype=idx.dtype)[None, None, :]
+        n = r * s
+        flat = prev_img.reshape(b, n)
+        safe_idx = jnp.where(idx < 0, n, idx)  # genuinely OOB -> dropped
+        fi = safe_idx[:, :, None] * k + jnp.arange(k, dtype=idx.dtype)[None, None, :]
 
         def upd(p, f, bl):
             return p.at[f.reshape(-1)].set(bl.reshape(-1), mode="drop")
@@ -642,10 +647,16 @@ class RecognitionEngine:
                         continue
                     try:
                         new = _load_any(path, host_params[model])
-                        ref = jax.tree_util.tree_leaves(host_params[model])
-                        got = jax.tree_util.tree_leaves(new)
+                        ref = jax.tree_util.tree_leaves_with_path(
+                            host_params[model])
+                        got = jax.tree_util.tree_leaves_with_path(new)
+                        # key PATHS must match, not just shapes: two
+                        # shape-identical subtrees under different names
+                        # (e.g. round-2 "fpn_merge" vs "fpn_td") would
+                        # otherwise load silently crossed
                         if len(ref) != len(got) or any(
-                            np.shape(a) != np.shape(b) for a, b in zip(ref, got)
+                            pa != pb or np.shape(a) != np.shape(b)
+                            for (pa, a), (pb, b) in zip(ref, got)
                         ):
                             raise ValueError("structure mismatch")
                         host_params[model] = new

@@ -81,7 +81,7 @@ def init_retinaface(rng_or_seed=0) -> dict:
     params["fpn_lat"] = [
         nn.conv_bn_init(rng, 1, 1, c, FPN_CH) for c in (c1, c2, c3)
     ]
-    params["fpn_merge"] = [
+    params["fpn_td"] = [
         nn.conv_bn_init(rng, 3, 3, FPN_CH, FPN_CH) for _ in range(2)
     ]
     params["ssh"] = [_ssh_init(rng, FPN_CH, FPN_CH) for _ in range(3)]
@@ -120,13 +120,17 @@ def retinaface_forward(params: dict, x: jnp.ndarray) -> dict:
     # FPN top-down
     lat = [nn.conv_bn(p, f, act=nn.leaky_relu) for p, f in zip(params["fpn_lat"], feats)]
     p3 = lat[2]
-    # fpn_merge list order == execution order (p2's merge first): the ONNX
+    # fpn_td list order == execution order (p2's merge runs first): the ONNX
     # structural importer maps weights by execution order, and both merges
-    # are shape-identical — a swapped convention would import silently wrong
+    # are shape-identical — a swapped convention would import silently
+    # wrong. Renamed from round-2's "fpn_merge" (which executed [1] before
+    # [0]) so pre-reorder checkpoints FAIL the engine's path-aware structure
+    # check loudly instead of loading with the merges crossed;
+    # tools/migrate_retinaface_npz.py converts old files.
     p2 = lat[1] + nn.upsample2x(p3, lat[1].shape[1:3])
-    p2 = nn.conv_bn(params["fpn_merge"][0], p2, act=nn.leaky_relu)
+    p2 = nn.conv_bn(params["fpn_td"][0], p2, act=nn.leaky_relu)
     p1 = lat[0] + nn.upsample2x(p2, lat[0].shape[1:3])
-    p1 = nn.conv_bn(params["fpn_merge"][1], p1, act=nn.leaky_relu)
+    p1 = nn.conv_bn(params["fpn_td"][1], p1, act=nn.leaky_relu)
     pyramid = [p1, p2, p3]
 
     feats = [_ssh(p, f) for p, f in zip(params["ssh"], pyramid)]

@@ -272,10 +272,20 @@ def make_scene(size: int, rng, max_faces: int = 3, difficulty=None):
     valid = np.zeros((max_faces,), bool)
     placed = []
     for k in range(n):
-        fsize = float(rng.uniform(size * 0.12, size * 0.4))
+        # single-face scenes span up to closeup-portrait scale (enroll
+        # uploads letterbox a mostly-face photo to the det square — round-3
+        # probe: the 0.12-0.4 training cap made 300px+ faces miss or
+        # double-detect); crowded scenes keep the surveillance range
+        hi = 0.75 if n == 1 else 0.4
+        fsize = float(rng.uniform(size * 0.12, size * hi))
         for _ in range(10):  # rejection-sample non-overlapping placement
-            cx = float(rng.uniform(fsize * 0.6, size - fsize * 0.6))
-            cy = float(rng.uniform(fsize * 0.7, size - fsize * 0.7))
+            # closeup faces can invert the placement band (0.7*fsize >
+            # size - 0.7*fsize); order the bounds so the center just sits
+            # in the middle band instead of raising
+            x_lo, x_hi = sorted((fsize * 0.6, size - fsize * 0.6))
+            y_lo, y_hi = sorted((fsize * 0.7, size - fsize * 0.7))
+            cx = float(rng.uniform(x_lo, x_hi))
+            cy = float(rng.uniform(y_lo, y_hi))
             if all(abs(cx - px) + abs(cy - py) > fsize + ps for px, py, ps in placed):
                 break
         else:

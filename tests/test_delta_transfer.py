@@ -108,3 +108,46 @@ def test_engine_delta_before_keyframe_raises(engine):
     fresh = RecognitionEngine(fresh_cfg, seed=0)
     with pytest.raises(RuntimeError, match="keyframe"):
         fresh.submit_encoded(delta)
+
+
+def test_device_reconstruction_bytes_exact(engine):
+    """The jitted delta stage's reconstructed BYTES must equal the raw batch
+    exactly — including frames whose payload is all padding. Regression test
+    for the negative-index wrap: JAX normalizes idx=-1 BEFORE the OOB check,
+    so an unguarded scatter under mode='drop' silently zeroed the LAST block
+    of every frame."""
+    import jax
+
+    seq = _batches(3)
+    enc = DeltaEncoder(block_bytes=128)
+    # keyframe primes the device state
+    engine.fetch(engine.submit_encoded(enc.encode(seq[0])))
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(engine._delta_prev)), seq[0])
+    # real delta payload
+    e1 = enc.encode(seq[1])
+    assert e1[0] == "delta"
+    engine.fetch(engine.submit_encoded(e1))
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(engine._delta_prev)), seq[1])
+    # an all-padding payload (no change at all) must be a byte-exact no-op
+    nblocks = seq[1].reshape(seq[1].shape[0], -1).shape[1] // 128
+    cap = nblocks // 16
+    idx = np.full((seq[1].shape[0], cap), -1, np.int32)
+    blocks = np.zeros((seq[1].shape[0], cap, 128), np.uint8)
+    engine.fetch(engine.submit_encoded(("delta", idx, blocks)))
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(engine._delta_prev)), seq[1])
+    enc.reset()
+
+
+def test_encoder_first_keyframe_copies_not_aliases():
+    """A caller reusing one preallocated batch buffer between scans must not
+    alias the encoder's previous-frame state (it would diff each batch
+    against itself and ship empty deltas forever)."""
+    enc = DeltaEncoder(block_bytes=128)
+    buf = np.zeros((1, 96 * 3 // 2, 128), np.uint8)
+    assert enc.encode(buf)[0] == "raw"
+    buf[:] = 37  # mutate the SAME buffer in place
+    out = enc.encode(buf)
+    assert out[0] == "raw", "full change must keyframe (state was aliased?)"

@@ -400,3 +400,55 @@ def test_gallery_snapshot_resolves_removed_identity(engine):
     # the snapshot still resolves the in-flight result correctly
     assert names_snap[bi] == "alice"
     engine.gallery.clear()
+
+
+def test_old_fpn_merge_checkpoint_rejected_loudly(tmp_path):
+    """A round-2 checkpoint (fpn_merge/ keys, swapped merge order) must be
+    REJECTED by the path-aware structure check — its two merge convs are
+    shape-identical to ours, so a shape-only check would load them crossed
+    with silent accuracy loss. tools/migrate_retinaface_npz.py converts."""
+    import os
+    import subprocess
+    import sys
+    import types
+
+    from frp_tpu.engine.pipeline import RecognitionEngine
+    from frp_tpu.models.params import _flatten, load_params, save_params
+    from frp_tpu.models.retinaface import init_retinaface
+
+    params = init_retinaface(0)
+    save_params(str(tmp_path / "retinaface.npz"), params)
+    # rewrite as a round-2-style file: fpn_td/ -> fpn_merge/ (swapped order)
+    flat = _flatten(jax.device_get(load_params(str(tmp_path / "retinaface.npz"))))
+    old = {}
+    for k, v in flat.items():
+        if k.startswith("fpn_td/0/"):
+            k = "fpn_merge/1/" + k[len("fpn_td/0/"):]
+        elif k.startswith("fpn_td/1/"):
+            k = "fpn_merge/0/" + k[len("fpn_td/1/"):]
+        old[k] = np.asarray(v)
+    with open(tmp_path / "retinaface.npz", "wb") as f:
+        np.savez(f, **old)
+
+    shim = types.SimpleNamespace(cfg=types.SimpleNamespace(weights_dir=str(tmp_path)))
+    loaded = RecognitionEngine._load_weights(
+        shim, {"detector": init_retinaface(1)}, "mobilefacenet"
+    )
+    assert loaded["detector"] is None  # rejected, falls back loudly
+
+    # the migration tool converts it and the load then succeeds
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "migrate_retinaface_npz.py"),
+         str(tmp_path / "retinaface.npz")],
+        check=True, capture_output=True,
+    )
+    loaded2 = RecognitionEngine._load_weights(
+        shim, {"detector": init_retinaface(1)}, "mobilefacenet"
+    )
+    assert loaded2["detector"] and loaded2["detector"].endswith("retinaface.npz")
+    migrated = load_params(str(tmp_path / "retinaface.npz"))
+    np.testing.assert_array_equal(
+        np.asarray(migrated["fpn_td"][0]["conv"]["w"]),
+        np.asarray(params["fpn_td"][0]["conv"]["w"]),
+    )

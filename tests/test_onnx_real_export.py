@@ -251,10 +251,10 @@ def _retinaface_graph(params: dict, shuffle_rng=None) -> bytes:
     # FPN top-down: p2's merge conv executes BEFORE p1's
     up3 = e.name("Resize")
     e.nodes.append(_node("Resize", [lat[2]], [up3]))
-    p2 = cb(e.add(lat[1], up3), params["fpn_merge"][0])
+    p2 = cb(e.add(lat[1], up3), params["fpn_td"][0])
     up2 = e.name("Resize")
     e.nodes.append(_node("Resize", [p2], [up2]))
-    p1 = cb(e.add(lat[0], up2), params["fpn_merge"][1])
+    p1 = cb(e.add(lat[0], up2), params["fpn_td"][1])
     pyramid = [p1, p2, lat[2]]
     feats = []
     for p, f in zip(params["ssh"], pyramid):
