@@ -34,8 +34,13 @@ import numpy as np
 
 CPU_BASELINE_FACES_PER_SEC = 33.3  # see module docstring + BASELINE.md
 
-DEPTH = 6          # submissions in flight
-GROUP = 3          # batches drained per host sync
+DEPTH = 24         # submissions in flight (sweep: benchmarks/
+GROUP = 12         # profile_pipeline_sweep.py — the delta transfer cut the
+#                    per-batch wire cost ~4x, moving the optimum from
+#                    (6, 3) to (24, 12): 23.2 vs 39.5 ms/batch measured.
+#                    Trade: ~0.55 s pipeline latency at depth 24 — the
+#                    scan loop's detection-to-alert latency uses the
+#                    blocking single-batch path, unaffected.
 WINDOW = 36        # timed batches per measurement window
 WINDOWS = 3        # windows per attempt (best window reported per attempt)
 
