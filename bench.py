@@ -265,11 +265,19 @@ def main():
     tracking = TrackingService({0: {"name": "bench", "geo": (0.0, 0.0)}},
                                cooldown_seconds=0.0)
     alerts = AlertService(camera_metadata={0: {"name": "bench", "geo": (0.0, 0.0)}})
+    # the serving scan loop ships deltas (cfg.delta_transfer default on), so
+    # the honest alert-path latency includes the encode + delta upload, not
+    # a full raw re-upload per scan; a fresh encoder keyframes first
     lat = []
+    alert_enc = DeltaEncoder(block_bytes=256) if use_delta else None
     for k in range(15):
         t0 = time.perf_counter()
+        advance_motion()
         b, f = host_prep()
-        res = eng.fetch(eng.submit(b, fmt=f))
+        if alert_enc is not None:
+            res = eng.fetch(eng.submit_encoded(alert_enc.encode(b)))
+        else:
+            res = eng.fetch(eng.submit(b, fmt=f))
         i, j = 0, 0
         if res["valid"][i, j]:
             name = eng.gallery.name_of(int(res["best_idx"][i, j])) or "unknown"

@@ -14,7 +14,9 @@
  *   - ~30 endpoint wrappers with identical paths/params (api.js:187-317)
  */
 
-const BASE_URL = (window.FRP_API_BASE || "").replace(/\/+$/, ""); // same-origin default
+// exported so standalone components (camera_grid.js) hit the SAME backend
+// origin and auth as every api.js call instead of bare relative fetches
+export const BASE_URL = (window.FRP_API_BASE || "").replace(/\/+$/, ""); // same-origin default
 const TIMEOUT_MS = Number(window.FRP_API_TIMEOUT_MS || 12000);
 const MAX_RETRIES = Number(window.FRP_API_MAX_RETRIES ?? 2);
 const RETRY_BASE_DELAY_MS = 300;
@@ -25,7 +27,7 @@ import { io } from "./sio.js";
    fetch core: timeout + auth + retry
    =========================== */
 
-function authHeaders() {
+export function authHeaders() {
   const headers = { Accept: "application/json" };
   try {
     const token = localStorage.getItem("auth_token");
@@ -138,7 +140,10 @@ const postForm = (url, formData, opts = {}) =>
    =========================== */
 let socket = null;
 export function createSocket({ path = "/socket.io", query = {}, authToken = null, reconnectionAttempts = 5 } = {}) {
-  if (socket && socket.connected) return socket;
+  // reuse the shared socket whenever one EXISTS — gating on .connected
+  // would spawn (and leak) a second live socket for any call landing in
+  // the async connect window or during a reconnect gap
+  if (socket) return socket;
   if (!authToken) {
     try {
       authToken = localStorage.getItem("auth_token");
@@ -189,8 +194,30 @@ export const deleteFace = (targetName) =>
 
 /* Camera alerts & tracking */
 export const getCameraAlerts = () => safeRequest(get("/camera/alerts"));
-export const getCameraFeed = (cameraId) =>
-  safeRequest(get(`/camera/${encodeURIComponent(cameraId)}/feed`));
+export const getCameraFeed = async (cameraId) => {
+  // /camera/{id}/feed is an INFINITE multipart/x-mixed-replace MJPEG
+  // stream — piping it through safeRequest's resp.text() would never
+  // resolve and buffer frames forever (the reference's axios wrapper has
+  // the same defect, api.js:205). Probe the headers, abort the body, and
+  // hand back the URL for an <img src>.
+  const url = `${BASE_URL}/camera/${encodeURIComponent(cameraId)}/feed`;
+  const controller = new AbortController();
+  try {
+    const resp = await fetch(url, {
+      headers: authHeaders(),
+      signal: controller.signal,
+    });
+    controller.abort(); // headers received; never consume the stream
+    return {
+      ok: resp.ok,
+      data: { url, contentType: resp.headers.get("Content-Type") },
+      error: resp.ok ? null : { message: `HTTP ${resp.status}`, code: resp.status },
+      status: resp.status,
+    };
+  } catch (err) {
+    return { ok: false, data: { url }, error: { message: (err && err.message) || String(err), code: null } };
+  }
+};
 export const getTrackingStats = () => safeRequest(get("/camera/stats"));
 export const getPersonMovement = (personName, limit = 20) =>
   safeRequest(get(`/camera/movement/${encodeURIComponent(personName)}`, { params: { limit } }));
@@ -219,7 +246,7 @@ export const getLatestAlert = (target = null) =>
   safeRequest(get("/alerts/latest", { params: { target } }));
 export const getWatchlist = () => safeRequest(get("/alerts/watchlist"));
 export const addToWatchlist = (targetName) =>
-  safeRequest(doFetch("POST", `/alerts/watchlist/${encodeURIComponent(targetName)}`, {}));
+  safeRequest(postJson(`/alerts/watchlist/${encodeURIComponent(targetName)}`, {}));
 export const removeFromWatchlist = (targetName) =>
   safeRequest(del(`/alerts/watchlist/${encodeURIComponent(targetName)}`));
 export const getGeofences = () => safeRequest(get("/alerts/geofences"));

@@ -5,7 +5,9 @@
  *   - socket listeners new_alert / update_movement_log / update_tracking_feed
  *     with the same caps: alerts 50, per-target history 10, movement 100
  *     (App.jsx:165-206)
- *   - random-4 healthy camera grid reshuffled on status change (App.jsx:212-240)
+ *   - random-4 healthy camera grid reshuffled on every 5 s status poll —
+ *     reference behavior: its useEffect keys on the cameraStatus object,
+ *     which is replaced each poll (App.jsx:212-240)
  *   - MJPEG <img> feeds, cache-busting ticker 5 s, broken-feed retry 15 s
  *     (App.jsx:245-253, 362-388)
  *   - distance badges <0.4 High / <0.6 Medium / Low (App.jsx:258-277)
@@ -354,7 +356,10 @@ export class App extends Component {
     this._sections.upload.replaceChildren(
       h("section", { class: "card", id: "upload-panel" },
         h("h2", {}, "Upload Target Photo"),
-        h("input", {
+        // kept across re-renders (dom.js keep): recreating the input on the
+        // onChange-triggered render would reset its FileList display to
+        // "No file chosen" the instant a file is selected
+        this.keep("upload-input", () => h("input", {
           id: "upload-input",
           type: "file",
           accept: "image/*",
@@ -362,7 +367,7 @@ export class App extends Component {
             this.state.file = e.target.files?.[0] ?? null;
             this._renderUpload();
           },
-        }),
+        })),
         h("button", {
           id: "upload-btn",
           disabled: !this.state.file,

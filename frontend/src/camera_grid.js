@@ -10,7 +10,7 @@
  */
 
 import { h, Component } from "./dom.js";
-import { getCameraStatus } from "./api.js";
+import { BASE_URL, authHeaders, getCameraStatus } from "./api.js";
 
 function randomPick(arr, n) {
   // draw n without replacement: repeatedly splice a random element out of a
@@ -68,7 +68,7 @@ export class CameraGrid extends Component {
       if (list.length === 0) {
         // fallback endpoint (the reference probes /api/cameras, which exists
         // on neither backend — CameraGrid.jsx:71; /camera/list does)
-        const r = await fetch("/camera/list");
+        const r = await fetch(`${BASE_URL}/camera/list`, { headers: authHeaders() });
         if (r.ok) {
           const json = await r.json();
           list = Array.isArray(json) ? json : json.cameras || json;
@@ -108,10 +108,13 @@ export class CameraGrid extends Component {
     const controller = new AbortController();
     this.activeFetches.set(camId, controller);
     const ts = cacheBust ? `?ts=${Date.now()}` : "";
-    const url = `/api/camera/${encodeURIComponent(camId)}/snapshot${ts}`;
+    // BASE_URL + auth like every api.js call: a bare relative fetch would
+    // hit the static-file origin (and skip the bearer token) whenever
+    // window.FRP_API_BASE points at a separate backend
+    const url = `${BASE_URL}/api/camera/${encodeURIComponent(camId)}/snapshot${ts}`;
     this.patchSnap(camId, { url: null, status: "loading", placeholder: false });
     try {
-      const resp = await fetch(url, { signal: controller.signal });
+      const resp = await fetch(url, { signal: controller.signal, headers: authHeaders() });
       this.activeFetches.delete(camId);
       if (!resp.ok) {
         const placeholder = resp.headers.get("X-Placeholder") === "1" || resp.status === 404;

@@ -42,6 +42,25 @@ export class Component {
     this.state = {};
     this._timers = new Set();
     this._cleanups = [];
+    this._kept = new Map();
+  }
+
+  keep(id, factory) {
+    // Node preservation across coarse re-renders (the stand-in for React's
+    // keyed reconciliation): the element is created once and MOVED into
+    // each new tree, so live MJPEG <img> streams aren't torn down and
+    // <input type=file> selections survive setState. Drop with unkeep(id)
+    // when the underlying resource must actually change.
+    let el = this._kept.get(id);
+    if (!el) {
+      el = factory();
+      this._kept.set(id, el);
+    }
+    return el;
+  }
+
+  unkeep(id) {
+    this._kept.delete(id);
   }
 
   setState(patch) {
@@ -67,6 +86,7 @@ export class Component {
   destroy() {
     for (const t of this._timers) clearInterval(t);
     this._timers.clear();
+    this._kept.clear();
     for (const fn of this._cleanups.splice(0)) {
       try {
         fn();

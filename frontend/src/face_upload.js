@@ -87,6 +87,26 @@ export class FaceUpload extends Component {
     }
   }
 
+  _clearUploadInputs() {
+    // kept DOM inputs (dom.js keep) survive re-renders, so clearing the
+    // state alone would leave the old filename/name visible
+    this.setState({ selectedFile: null, targetName: "" });
+    for (const id of ["upload-file-input", "target-name"]) {
+      const el = this._kept.get(id);
+      if (el) el.value = "";
+    }
+  }
+
+  _syncValue(id, value, factory) {
+    // kept text input whose value can also change programmatically: push
+    // the state value into the node unless the user is typing in it
+    const el = this.keep(id, factory);
+    if (document.activeElement !== el && el.value !== value) {
+      el.value = value;
+    }
+    return el;
+  }
+
   note(msg) {
     this.setState({ note: msg });
   }
@@ -130,8 +150,13 @@ export class FaceUpload extends Component {
         } else {
           this.setState({ uploadResult: pollPayload });
           if (pollPayload && (pollPayload.status === "success" || pollPayload.status === "finished")) {
-            this.fetchEnrolledFaces();
-            this.setState({ selectedFile: null, targetName: "" });
+            // The async pipeline is a gallery SEARCH (/async/face/search) —
+            // it does not enroll. The reference UI claimed enrollment here,
+            // but its async jobs always failed so that path never actually
+            // ran (async_task_manager.py:116-147); be honest instead of
+            // clearing the form and implying the face was stored.
+            this.note("ℹ️ Async search finished — result below. " +
+                      "Uncheck 'Use Async Upload' to enroll this face.");
           }
         }
       } else {
@@ -144,7 +169,7 @@ export class FaceUpload extends Component {
           if (payload.status === "success") {
             this.note(`✅ Face encoded for ${payload.target}`);
             this.fetchEnrolledFaces();
-            this.setState({ selectedFile: null, targetName: "" });
+            this._clearUploadInputs();
           } else {
             this.note(`❌ ${payload.message || "Upload returned warning/error"}`);
           }
@@ -200,21 +225,25 @@ export class FaceUpload extends Component {
 
       h("div", { class: "card" },
         h("h3", {}, "Step 1: Upload & Encode Face"),
-        h("input", {
+        // kept (dom.js): every setState — including per-XHR-progress ones
+        // during an upload — re-renders the whole view; a recreated file
+        // input would display "No file chosen" mid-upload, and a recreated
+        // text input would drop uncommitted typing
+        this.keep("upload-file-input", () => h("input", {
           id: "upload-file-input", type: "file", accept: "image/*",
           onChange: (e) => {
             const f = e.target.files[0];
             this.setState({
               selectedFile: f, uploadResult: null, compareResult: null,
-              targetName: s.targetName || (f ? f.name : ""),
+              targetName: this.state.targetName || (f ? f.name : ""),
             });
           },
-        }),
-        h("input", {
+        })),
+        this._syncValue("target-name", s.targetName, () => h("input", {
           type: "text", id: "target-name", placeholder: "Enter Target Name (defaults to filename)",
           value: s.targetName,
           onChange: (e) => { this.state.targetName = e.target.value; },
-        }),
+        })),
         h("label", {},
           h("input", { type: "checkbox", id: "save-raw", checked: s.saveRaw,
             onChange: (e) => { this.state.saveRaw = e.target.checked; } }),
@@ -246,10 +275,10 @@ export class FaceUpload extends Component {
       h("div", { class: "card" },
         h("h3", {}, "Step 2: Compare Another Face"),
         h("p", { class: "muted" }, "Upload a different image to compare against all stored faces"),
-        h("input", {
+        this.keep("compare-file-input", () => h("input", {
           type: "file", accept: "image/*", id: "compare-file-input",
           onChange: (e) => this.setState({ compareFile: e.target.files[0], compareResult: null }),
-        }),
+        })),
         h("button", {
           id: "compare-btn",
           disabled: s.comparing || !s.compareFile,

@@ -15,24 +15,37 @@ const VIEWS = {
 
 let current = null;
 
+let shownView = null;
+
 function show(view) {
+  if (view === shownView) return;
   if (current) current.destroy();
+  shownView = view;
   const mount = document.getElementById("view");
   current = VIEWS[view](mount);
   for (const a of document.querySelectorAll("nav a")) {
     a.classList.toggle("active", a.dataset.view === view);
   }
-  try {
-    history.replaceState(null, "", `#${view}`);
-  } catch (e) {}
+  if (location.hash !== `#${view}`) {
+    try {
+      history.replaceState(null, "", `#${view}`);
+    } catch (e) {}
+  }
 }
 
 function boot() {
+  // navigation rides the hash: anchors just set it, and ONE hashchange
+  // listener mounts the view — so browser back/forward stay in sync with
+  // what's rendered (replaceState-only left them desynced)
   const nav = h("nav", {},
-    h("a", { href: "#dashboard", dataset: { view: "dashboard" }, onClick: () => show("dashboard") }, "Dashboard"),
-    h("a", { href: "#faces", dataset: { view: "faces" }, onClick: () => show("faces") }, "Face Manager"),
-    h("a", { href: "#grid", dataset: { view: "grid" }, onClick: () => show("grid") }, "Camera Grid"));
+    h("a", { href: "#dashboard", dataset: { view: "dashboard" } }, "Dashboard"),
+    h("a", { href: "#faces", dataset: { view: "faces" } }, "Face Manager"),
+    h("a", { href: "#grid", dataset: { view: "grid" } }, "Camera Grid"));
   document.body.prepend(nav);
+  window.addEventListener("hashchange", () => {
+    const view = (location.hash || "#dashboard").slice(1);
+    show(VIEWS[view] ? view : "dashboard");
+  });
   const initial = (location.hash || "#dashboard").slice(1);
   show(VIEWS[initial] ? initial : "dashboard");
 }

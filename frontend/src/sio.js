@@ -113,6 +113,15 @@ class Socket {
 
   connect() {
     this._closedByUser = false;
+    // no-op when a socket is already open/connecting (socket.io-client
+    // semantics) — a second _open() here would orphan the live WebSocket
+    // while its handlers keep firing against the replacement, double-
+    // dispatching every event
+    if (this._ws && this._ws.readyState <= WebSocket.OPEN) return this;
+    if (this._reconnectTimer) {
+      clearTimeout(this._reconnectTimer);
+      this._reconnectTimer = null;
+    }
     this._open();
     return this;
   }
@@ -183,8 +192,13 @@ class Socket {
     }
     const delay = Math.min(RECONNECT_MAX_MS, RECONNECT_BASE_MS * 2 ** this._attempts);
     this._attempts += 1;
-    setTimeout(() => {
-      if (!this._closedByUser && !this.connected) this._open();
+    this._reconnectTimer = setTimeout(() => {
+      this._reconnectTimer = null;
+      // a connect() in the meantime may already have opened a socket —
+      // opening another would orphan it (see connect())
+      if (this._closedByUser || this.connected) return;
+      if (this._ws && this._ws.readyState <= WebSocket.OPEN) return;
+      this._open();
     }, delay);
   }
 

@@ -174,7 +174,9 @@ def client_endpoints():
     src = read_module("api.js")
     pairs = set()
     helper_method = {"get": "GET", "del": "DELETE", "postJson": "POST", "postForm": "POST"}
-    for m in re.finditer(r'\b(get|del|postJson|postForm)\((?:"([^"]+)"|`([^`]+)`)', src):
+    # (?<![.\w]) keeps member calls like resp.headers.get("Content-Type")
+    # out of the endpoint extraction
+    for m in re.finditer(r'(?<![.\w])(get|del|postJson|postForm)\((?:"([^"]+)"|`([^`]+)`)', src):
         url = m.group(2) or m.group(3)
         pairs.add((helper_method[m.group(1)], url))
     for m in re.finditer(r'doFetch\("(\w+)",\s*(?:"([^"]+)"|`([^`]+)`)', src):
