@@ -55,7 +55,11 @@ def main():
     except ImportError:
         cv2 = None
 
-    cfg = load_config(det_size=640, max_faces_per_frame=16, frames_per_batch=8)
+    # BENCH_DET_SIZE=512 measures the opt-in "turbo" profile (BASELINE.md:
+    # det 512 keeps 96/96 recall on these scenes with fewer device FLOPs
+    # and upload bytes); default stays at the reference's det 640
+    det = int(os.getenv("BENCH_DET_SIZE", "640"))
+    cfg = load_config(det_size=det, max_faces_per_frame=16, frames_per_batch=8)
     eng = RecognitionEngine(cfg)
     rng = np.random.default_rng(0)
     for i in range(100):
@@ -111,7 +115,7 @@ def main():
             cam[y0 : y0 + sp, x0 + dx : x0 + dx + sp] = sprite
         # faces count stays 12 per frame: 11 static + the walker
 
-    rows = active_rows_for([f.shape[:2] for f in cams], 640) or 640  # 368 @ 16:9
+    rows = active_rows_for([f.shape[:2] for f in cams], det) or det  # 368 @ det 640, 16:9
 
     def host_prep():
         """Letterbox 8x1080p -> the 640x368 ACTIVE area and pack I420 (the
@@ -121,12 +125,12 @@ def main():
         internally; an outer thread pool measured slower (contention with
         the device dispatch threads)."""
         if cv2 is not None:
-            out = np.empty((8, rows * 3 // 2, 640), np.uint8)
+            out = np.empty((8, rows * 3 // 2, det), np.uint8)
             for i, frame in enumerate(cams):
-                boxed, _, _ = letterbox(frame, 640, rows=rows)
+                boxed, _, _ = letterbox(frame, det, rows=rows)
                 out[i] = cv2.cvtColor(boxed, cv2.COLOR_BGR2YUV_I420)
             return out, "yuv420"
-        out = np.stack([letterbox(f, 640)[0] for f in cams])
+        out = np.stack([letterbox(f, det)[0] for f in cams])
         return out, "rgb"
 
     batch, fmt = host_prep()
