@@ -43,3 +43,38 @@ def test_headline_median_not_above_best(headline):
     assert (headline["faces_per_sec_median"]
             <= headline["faces_per_sec_best"])
     assert headline["attempts"] >= 3
+
+
+# -- accuracy tables must match their artifacts ------------------------------
+# (round-3 lesson: the tiered table in BASELINE.md went stale against
+# weights/tiered_eval.json once; lock every quoted figure to the artifact)
+
+def test_baseline_tiered_table_matches_artifact():
+    path = os.path.join(ROOT, "weights", "tiered_eval.json")
+    with open(path) as f:
+        tiers = json.load(f)["tiers"]
+    with open(os.path.join(ROOT, "BASELINE.md")) as f:
+        text = f.read()
+    for tier in ("0", "1", "2"):
+        t = tiers[tier]
+        e, c = t["e2e"], t["crop"]
+        row = (f"| {t['detector_recall']:.3f} | {e['tpr@0.6']:.3f} | "
+               f"{e['fpr@0.6']:.3f} | {e['auc']:.4f} | "
+               f"{c['tpr@0.6']:.3f} | {c['fpr@0.6']:.3f} |")
+        assert row in text, (
+            f"BASELINE.md tier-{tier} row is stale vs weights/"
+            f"tiered_eval.json; expected numeric cells: {row}")
+
+
+def test_baseline_calibration_quotes_match_artifact():
+    path = os.path.join(ROOT, "weights", "calibration.json")
+    with open(path) as f:
+        m = json.load(f)["metrics_e2e_calibrated"]
+    with open(os.path.join(ROOT, "BASELINE.md")) as f:
+        text = " ".join(f.read().split())  # doc wraps the quote across lines
+    expected = (f"TPR@0.6 {m['tpr@0.6']:.3f}, FPR@0.6 {m['fpr@0.6']:.3f}, "
+                f"TPR@0.4 {m['tpr@0.4']:.3f}, FPR@0.4 {m['fpr@0.4']:.3f}, "
+                f"AUC {m['auc']:.3f}, EER {m['eer']:.3f}")
+    assert expected in text, (
+        "BASELINE.md calibration quote is stale vs weights/calibration.json; "
+        f"expected: {expected}")
