@@ -42,6 +42,11 @@ GROUP = 12         # profile_pipeline_sweep.py — the delta transfer cut the
 #                    scan loop's detection-to-alert latency uses the
 #                    blocking single-batch path, unaffected.
 WINDOW = 36        # timed batches per measurement window
+DELTA_BLOCK = int(os.getenv("BENCH_DELTA_BLOCK", "128"))
+#                  delta-transfer block bytes: 128 ships ~1.9x fewer bytes
+#                  than the round-3 initial 256 on these scenes (7.0x vs
+#                  3.8x overall wire compression, same scatter row count --
+#                  benchmarks/profile_block_size.py)
 WINDOWS = 3        # windows per attempt (best window reported per attempt)
 
 
@@ -146,7 +151,7 @@ def main():
     # first timed window doesn't pay it.
     from frp_tpu.engine.batching import DeltaEncoder
 
-    enc = DeltaEncoder(block_bytes=256)
+    enc = DeltaEncoder(block_bytes=DELTA_BLOCK)
     use_delta = fmt == "yuv420" and batch.reshape(8, -1).shape[1] % 256 == 0
     wire = {"shipped": 0, "raw_equiv": 0, "raw_batches": 0, "delta_batches": 0}
     if use_delta:
@@ -273,7 +278,7 @@ def main():
     # the honest alert-path latency includes the encode + delta upload, not
     # a full raw re-upload per scan; a fresh encoder keyframes first
     lat = []
-    alert_enc = DeltaEncoder(block_bytes=256) if use_delta else None
+    alert_enc = DeltaEncoder(block_bytes=DELTA_BLOCK) if use_delta else None
     for k in range(15):
         t0 = time.perf_counter()
         advance_motion()

@@ -77,15 +77,16 @@ def main():
             out[i] = cv2.cvtColor(boxed, cv2.COLOR_BGR2YUV_I420)
         return out
 
-    enc = DeltaEncoder(block_bytes=256)
+    blk = int(os.environ.get("SWEEP_BLOCK", "128"))
+    enc = DeltaEncoder(block_bytes=blk)
     batch = prep()
     eng.fetch(eng.submit_encoded(("raw", batch)))
-    nblocks = batch.reshape(8, -1).shape[1] // 256
+    nblocks = batch.reshape(8, -1).shape[1] // blk
     for denom in DeltaEncoder.LADDER:
         cap = nblocks // denom
         eng.fetch(eng.submit_encoded(
             ("delta", np.full((8, cap), -1, np.int32),
-             np.zeros((8, cap, 256), np.uint8))))
+             np.zeros((8, cap, blk), np.uint8))))
 
     def window(depth, group, n=24):
         import queue

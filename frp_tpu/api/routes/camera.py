@@ -9,6 +9,7 @@ the reference's per-camera thread pool (:277-306).
 from __future__ import annotations
 
 import asyncio
+import os
 import threading
 import time
 
@@ -87,7 +88,10 @@ def register(router, ctx):
     # Guarded by scan_mutex with everything else.
     from frp_tpu.engine.batching import DeltaEncoder
 
-    scan_delta = DeltaEncoder(block_bytes=256)
+    # 128-byte blocks: ~1.9x fewer wire bytes than 256 on moving scenes at
+    # the same scatter row count (benchmarks/profile_block_size.py)
+    scan_delta = DeltaEncoder(block_bytes=int(
+        os.getenv("FRP_DELTA_BLOCK", "128")))
 
     def _get_camera(request: Request):
         try:

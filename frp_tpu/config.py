@@ -42,7 +42,8 @@ class Config:
     # --- detector (reference deepfake_utils.py:41-48) ---
     det_size: int = 640                  # DET_SIZE square detector input
     det_conf_threshold: float = 0.5      # DET_CONF_THRESHOLD
-    det_nms_threshold: float = 0.4       # DET_NMS_THRESHOLD
+    det_nms_threshold: float = 0.4       # DET_NMS_THRESHOLD (IoU)
+    det_nms_iom_threshold: float = 0.5   # DET_NMS_IOM_THRESHOLD int/min-area; <=0 off
     max_faces_per_frame: int = 16        # MAX_FACES padded detection slots
     pre_nms_topk: int = 256              # PRE_NMS_TOPK candidates kept before NMS
 
@@ -127,6 +128,7 @@ _ENV_MAP = {
     "det_size": ("DET_SIZE", int),
     "det_conf_threshold": ("DET_CONF_THRESHOLD", float),
     "det_nms_threshold": ("DET_NMS_THRESHOLD", float),
+    "det_nms_iom_threshold": ("DET_NMS_IOM_THRESHOLD", float),
     "max_faces_per_frame": ("MAX_FACES", int),
     "pre_nms_topk": ("PRE_NMS_TOPK", int),
     "frames_per_batch": ("FRAMES_PER_BATCH", int),

@@ -74,6 +74,7 @@ def build_pipeline(
     pre_nms_topk: int = 256,
     conf_thresh: float = 0.5,
     nms_thresh: float = 0.4,
+    iom_thresh: float = 0.5,
     tolerance: float = 0.6,
     top_k: int = 5,
     with_spoof: bool = True,
@@ -116,6 +117,7 @@ def build_pipeline(
             max_out=m,
             conf_thresh=conf_thresh,
             iou_thresh=nms_thresh,
+            iom_thresh=iom_thresh,
         )
         valid = dets["valid"]  # [B, M]
         scores = dets["scores"]
@@ -211,6 +213,7 @@ def build_stages(
     pre_nms_topk: int = 256,
     conf_thresh: float = 0.5,
     nms_thresh: float = 0.4,
+    iom_thresh: float = 0.5,
     top_k: int = 5,
     with_spoof: bool = True,
     with_quality: bool = True,
@@ -253,6 +256,7 @@ def build_stages(
                 max_out=max_faces,
                 conf_thresh=conf_thresh,
                 iou_thresh=nms_thresh,
+                iom_thresh=iom_thresh,
                 image_size=float(det_size),
             )
         else:
@@ -266,6 +270,7 @@ def build_stages(
                 max_out=max_faces,
                 conf_thresh=conf_thresh,
                 iou_thresh=nms_thresh,
+                iom_thresh=iom_thresh,
             )
         sxy = scale[:, None, :]
         boxes = dets["boxes"] * jnp.concatenate([sxy, sxy], axis=-1)
@@ -547,6 +552,7 @@ class RecognitionEngine:
             pre_nms_topk=self.cfg.pre_nms_topk,
             conf_thresh=self.cfg.det_conf_threshold,
             nms_thresh=self.cfg.det_nms_threshold,
+            iom_thresh=self.cfg.det_nms_iom_threshold,
             with_spoof=self.with_spoof,
             compute_dtype=self.cfg.compute_dtype,
             embedder_forward=self._embedder_forward,

@@ -42,6 +42,7 @@ def _fused_head_kernel(
     *,
     conf_thresh: float,
     iou_thresh: float,
+    iom_thresh: float,
     image_size: float,
     max_out: int,
     payload_ref,
@@ -78,7 +79,15 @@ def _fused_head_kernel(
     ih = jnp.maximum(jnp.minimum(y2, y2r) - jnp.maximum(y1, y1r), 0.0)
     inter = iw * ih  # [K, K]
     union = area + jnp.transpose(area) - inter
-    iou_scratch[:, :] = inter / jnp.maximum(union, 1e-12)
+    # effective overlap normalized to suppress at > 1.0: IoU/iou_thresh,
+    # and (when enabled) intersection-over-min-area/iom_thresh — collapses
+    # the shifted/nested duplicate clusters an oversized face produces
+    # (ops/nms.py overlap_matrix is the XLA twin; tested equal)
+    eff = inter / jnp.maximum(union, 1e-12) / iou_thresh
+    if iom_thresh > 0.0:
+        min_area = jnp.minimum(area, jnp.transpose(area))
+        eff = jnp.maximum(eff, inter / jnp.maximum(min_area, 1e-12) / iom_thresh)
+    iou_scratch[:, :] = eff
 
     # --- greedy suppression (rank order == row order: pre-sorted by score).
     # Pallas TPU can't dynamic-slice VALUES, so row i comes from the scratch
@@ -90,7 +99,7 @@ def _fused_head_kernel(
         row = iou_scratch[pl.ds(i, 1), :]  # [1, K]
         onehot = (rank == i).astype(jnp.float32)
         alive_i = jnp.sum(onehot * (1.0 - suppressed) * above)
-        hit = jnp.logical_and(row > iou_thresh, rank > i)
+        hit = jnp.logical_and(row > 1.0, rank > i)
         return jnp.maximum(suppressed, jnp.where(hit, alive_i, 0.0))
 
     suppressed = jax.lax.fori_loop(0, k, body, jnp.zeros((1, k), jnp.float32))
@@ -143,8 +152,8 @@ def _fused_head_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "pre_topk", "max_out", "conf_thresh", "iou_thresh", "image_size",
-        "use_pallas",
+        "pre_topk", "max_out", "conf_thresh", "iou_thresh", "iom_thresh",
+        "image_size", "use_pallas",
     ),
 )
 def fused_detection_head(
@@ -157,6 +166,7 @@ def fused_detection_head(
     max_out: int = 16,
     conf_thresh: float = 0.5,
     iou_thresh: float = 0.4,
+    iom_thresh: float = 0.5,
     image_size: float = 640.0,
     use_pallas: bool | None = None,
 ):
@@ -196,6 +206,7 @@ def fused_detection_head(
             max_out=max_out,
             conf_thresh=conf_thresh,
             iou_thresh=iou_thresh,
+            iom_thresh=iom_thresh,
         )
 
     top_scores, top_idx = jax.lax.top_k(scores, k)  # [B, K] descending
@@ -214,6 +225,7 @@ def fused_detection_head(
         _fused_head_kernel,
         conf_thresh=float(conf_thresh),
         iou_thresh=float(iou_thresh),
+        iom_thresh=float(iom_thresh),
         image_size=float(image_size),
         max_out=int(max_out),
     )

@@ -22,6 +22,25 @@ import jax.numpy as jnp
 
 def iou_matrix(boxes: jnp.ndarray) -> jnp.ndarray:
     """Dense pairwise IoU. boxes: [K, 4] xyxy -> [K, K] float32."""
+    return overlap_matrix(boxes, 1.0, 0.0)
+
+
+def overlap_matrix(
+    boxes: jnp.ndarray, iou_thresh: float, iom_thresh: float
+) -> jnp.ndarray:
+    """Dense pairwise *effective* overlap, normalized so the greedy pass
+    suppresses at ``> 1.0``: max(IoU/iou_thresh, IoM/iom_thresh) where IoM is
+    intersection over the smaller box's area ("NMS-min").
+
+    Why IoM: a detector facing a face far above its trained scale emits a
+    cluster of shifted, undersized duplicates whose pairwise IoU sits *below*
+    any usable IoU threshold (measured ~0.35 on closeup enroll uploads) while
+    their intersection covers most of the smaller box (IoM ~0.55+). Plain-IoU
+    NMS keeps 5-8 boxes for one face, which breaks the single-face enroll
+    contract (reference face_service semantics: dlib/InsightFace return one
+    box per face). ``iom_thresh <= 0`` disables the IoM term (pure IoU,
+    criterion still ``> 1.0``).
+    """
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
     area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
     ix1 = jnp.maximum(x1[:, None], x1[None, :])
@@ -32,10 +51,18 @@ def iou_matrix(boxes: jnp.ndarray) -> jnp.ndarray:
     ih = jnp.maximum(iy2 - iy1, 0.0)
     inter = iw * ih
     union = area[:, None] + area[None, :] - inter
-    return inter / jnp.maximum(union, 1e-12)
+    eff = inter / jnp.maximum(union, 1e-12) / iou_thresh
+    if iom_thresh > 0.0:
+        min_area = jnp.minimum(area[:, None], area[None, :])
+        iom = inter / jnp.maximum(min_area, 1e-12)
+        eff = jnp.maximum(eff, iom / iom_thresh)
+    return eff
 
 
-@partial(jax.jit, static_argnames=("pre_topk", "max_out"))
+@partial(
+    jax.jit,
+    static_argnames=("pre_topk", "max_out", "iou_thresh", "iom_thresh"),
+)
 def nms_padded(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -45,8 +72,13 @@ def nms_padded(
     max_out: int = 16,
     conf_thresh: float = 0.5,
     iou_thresh: float = 0.4,
+    iom_thresh: float = 0.5,
 ):
     """Greedy NMS with fixed output slots.
+
+    Suppression fires on IoU > iou_thresh OR intersection-over-min-area >
+    iom_thresh (collapses nested/shifted duplicate clusters on oversized
+    faces — see overlap_matrix; iom_thresh <= 0 for pure-IoU behavior).
 
     Args:
         boxes: [A, 4] xyxy. scores: [A]. landmarks: [A, 10].
@@ -60,7 +92,7 @@ def nms_padded(
     top_boxes = jnp.take(boxes, top_idx, axis=0)
     top_ldm = jnp.take(landmarks, top_idx, axis=0)
 
-    iou = iou_matrix(top_boxes)
+    eff = overlap_matrix(top_boxes, iou_thresh, iom_thresh)
     above = top_scores >= conf_thresh
     rng = jnp.arange(k)
 
@@ -68,7 +100,7 @@ def nms_padded(
         # i is the i-th highest-scoring box; it suppresses lower-ranked
         # overlapping boxes only if it is itself alive.
         alive_i = jnp.logical_and(jnp.logical_not(suppressed[i]), above[i])
-        hit = jnp.logical_and(iou[i] > iou_thresh, rng > i)
+        hit = jnp.logical_and(eff[i] > 1.0, rng > i)
         return jnp.where(jnp.logical_and(alive_i, hit), True, suppressed)
 
     suppressed = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), dtype=bool))
@@ -111,7 +143,10 @@ def _select_slots(keep, top_scores, top_boxes, top_ldm, max_out, k):
 
 @partial(
     jax.jit,
-    static_argnames=("pre_topk", "max_out", "use_pallas", "conf_thresh", "iou_thresh"),
+    static_argnames=(
+        "pre_topk", "max_out", "use_pallas", "conf_thresh", "iou_thresh",
+        "iom_thresh",
+    ),
 )
 def nms_padded_batched(
     boxes: jnp.ndarray,
@@ -122,6 +157,7 @@ def nms_padded_batched(
     max_out: int = 16,
     conf_thresh: float = 0.5,
     iou_thresh: float = 0.4,
+    iom_thresh: float = 0.5,
     use_pallas: bool | None = None,
 ):
     """Batched NMS over [B, A, ...] with the greedy pass in a Pallas kernel.
@@ -140,26 +176,28 @@ def nms_padded_batched(
     top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
     top_ldm = jnp.take_along_axis(landmarks, top_idx[..., None], axis=1)
 
-    iou = jax.vmap(iou_matrix)(top_boxes)  # [B, K, K]
+    eff = jax.vmap(
+        lambda bx: overlap_matrix(bx, iou_thresh, iom_thresh)
+    )(top_boxes)  # [B, K, K] effective overlap, suppress at > 1.0
     above = top_scores >= conf_thresh
 
     if use_pallas:
         from frp_tpu.ops.nms_pallas import greedy_suppress
 
-        keep = greedy_suppress(iou, above, iou_thresh)
+        keep = greedy_suppress(eff, above, 1.0)
     else:
         rng = jnp.arange(k)
 
-        def one(iou_f, above_f):
+        def one(eff_f, above_f):
             def body(i, suppressed):
                 alive_i = jnp.logical_and(jnp.logical_not(suppressed[i]), above_f[i])
-                hit = jnp.logical_and(iou_f[i] > iou_thresh, rng > i)
+                hit = jnp.logical_and(eff_f[i] > 1.0, rng > i)
                 return jnp.where(jnp.logical_and(alive_i, hit), True, suppressed)
 
             suppressed = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), bool))
             return jnp.logical_and(jnp.logical_not(suppressed), above_f)
 
-        keep = jax.vmap(one)(iou, above)
+        keep = jax.vmap(one)(eff, above)
 
     def select(keep_f, scores_f, boxes_f, ldm_f):
         return _select_slots(keep_f, scores_f, boxes_f, ldm_f, max_out, k)

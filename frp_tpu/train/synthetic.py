@@ -251,22 +251,43 @@ def make_identity_crop(
     return apply_photometric(canvas, rng, tier)
 
 
-def make_scene(size: int, rng, max_faces: int = 3, difficulty=None):
+def make_scene(size: int, rng, max_faces: int = 3, difficulty=None,
+               portrait: bool = False):
     """One training scene. Returns (image [S,S,3] uint8, boxes [G,4] norm,
     ldm [G,10] norm, valid [G]) with G = max_faces padding. ``difficulty``
     (None | tier int | "mix") adds pose/occlusion/lighting/blur per TIERS;
-    None renders the round-2 frontal domain unchanged."""
+    None renders the round-2 frontal domain unchanged. ``portrait`` forces
+    the enroll-upload shape: exactly one face at 0.45-0.75 of the square,
+    plain background half the time (closeup-localization training)."""
     tier = _pick_tier(rng, difficulty)
-    img = rng.integers(20, 120, size=(size, size, 3), dtype=np.uint8)
-    # background clutter
-    for _ in range(rng.integers(2, 6)):
+    # 25% plain backgrounds (flat wall / soft gradient): the enroll-upload
+    # domain. Trained only on noise+clutter, the detector emits clusters of
+    # shifted undersized duplicates on a flat-background portrait (measured:
+    # 4-16 boxes for one face) — plain scenes teach localization without
+    # texture anchoring.
+    plain = rng.random() < (0.5 if portrait else 0.25)
+    if plain:
+        base = int(rng.integers(25, 215))
+        img = np.full((size, size, 3), base, np.uint8)
+        if rng.random() < 0.5:  # soft vertical illumination gradient
+            g = np.linspace(
+                0, float(rng.uniform(-40, 40)), size, dtype=np.float32
+            )[:, None, None]
+            img = np.clip(img.astype(np.float32) + g, 0, 255).astype(np.uint8)
+    else:
+        img = rng.integers(20, 120, size=(size, size, 3), dtype=np.uint8)
+    # background clutter (plain scenes stay mostly clean — at most one patch)
+    for _ in range(rng.integers(0, 2) if plain else rng.integers(2, 6)):
         x0, y0 = rng.integers(0, size, 2)
         wdt, hgt = rng.integers(5, size // 3, 2)
         img[y0 : y0 + hgt, x0 : x0 + wdt] = rng.integers(0, 255, 3)
 
     # 20% of scenes are face-free negatives — without them the detector
     # hallucinates extra boxes on background texture
-    n = 0 if rng.random() < 0.2 else int(rng.integers(1, max_faces + 1))
+    if portrait:
+        n = 1
+    else:
+        n = 0 if rng.random() < 0.2 else int(rng.integers(1, max_faces + 1))
     boxes = np.zeros((max_faces, 4), np.float32)
     ldms = np.zeros((max_faces, 10), np.float32)
     valid = np.zeros((max_faces,), bool)
@@ -277,7 +298,13 @@ def make_scene(size: int, rng, max_faces: int = 3, difficulty=None):
         # probe: the 0.12-0.4 training cap made 300px+ faces miss or
         # double-detect); crowded scenes keep the surveillance range
         hi = 0.75 if n == 1 else 0.4
-        fsize = float(rng.uniform(size * 0.12, size * hi))
+        if n == 1 and (portrait or rng.random() < 0.4):
+            # portrait band oversampled: uniform(0.12, 0.75) gives closeups
+            # only ~40% of single-face scenes and the 300px+ regression stays
+            # sloppy (shifted duplicate clusters; see the plain-bg note above)
+            fsize = float(rng.uniform(size * 0.45, size * hi))
+        else:
+            fsize = float(rng.uniform(size * 0.12, size * hi))
         for _ in range(10):  # rejection-sample non-overlapping placement
             # closeup faces can invert the placement band (0.7*fsize >
             # size - 0.7*fsize); order the bounds so the center just sits
@@ -308,18 +335,22 @@ def make_scene(size: int, rng, max_faces: int = 3, difficulty=None):
     return img, boxes, ldms, valid
 
 
-def make_batch(batch: int, size: int, rng, max_faces: int = 3, difficulty=None):
+def make_batch(batch: int, size: int, rng, max_faces: int = 3, difficulty=None,
+               portrait_frac: float = 0.0):
     """Half the batch renders at 1.5-2x and downsamples — cameras deliver
     resampled (softened) frames through the letterbox path, and a detector
     trained only on crisp native-res renders fails on them (measured: score
     0.995 native vs 0.007 after bilinear downscale before this augmentation).
-    ``difficulty`` flows to make_scene (None | tier | "mix").
+    ``difficulty`` flows to make_scene (None | tier | "mix");
+    ``portrait_frac`` is the fraction of scenes forced to the single-face
+    closeup enroll shape (make_scene portrait=True).
     """
     imgs, boxes, ldms, valids = [], [], [], []
     for k in range(batch):
         scale = 1.0 if k % 2 == 0 else float(rng.uniform(1.5, 2.0))
         render = int(size * scale)
-        i, b, l, v = make_scene(render, rng, max_faces, difficulty=difficulty)
+        i, b, l, v = make_scene(render, rng, max_faces, difficulty=difficulty,
+                                portrait=bool(rng.random() < portrait_frac))
         if render != size:
             i = _resize_bilinear(i, size)
         imgs.append(i)

@@ -53,7 +53,10 @@ def test_gallery_match_integration(engine):
     # (at conf 0.3) usually by deterministic-init weights; skip if neither
     from frp_tpu.train.synthetic import make_scene
 
-    img, _, _, _ = make_scene(DET, np.random.default_rng(5), max_faces=1)
+    # portrait=True keeps the face at 0.45-0.75 of the square — inside the
+    # shipped detector's trained pixel range even on this DET-size grid
+    img, _, _, _ = make_scene(DET, np.random.default_rng(5), max_faces=1,
+                              portrait=True)
     frames = img[None]
     out1 = engine.process_frames(frames)
     if not out1["valid"].any():
@@ -255,7 +258,11 @@ def test_deepfake_classify_frames_i420_path(engine, monkeypatch):
     frames = []
     for i in range(3):
         rgb = rng.integers(20, 110, size=(288, 512, 3), dtype=np.uint8)
-        render_face(rgb, 256 + 30 * i, 144, 120.0, rng)
+        # 220 px here -> ~55 px after the 512->128 letterbox: inside the
+        # shipped detector's trained pixel range (det-640 fine-tune sees
+        # >=38 px); 120 px (~30 px effective) went sub-scale after the
+        # round-3 serving-scale retrain and detected 0/3
+        render_face(rgb, 256 + 30 * i, 144, 220.0, rng)
         frames.append(np.ascontiguousarray(rgb[..., ::-1]))  # BGR
 
     svc = DeepfakeService(engine)
@@ -348,7 +355,8 @@ def test_encode_image_canonical_geometry_and_remap(engine):
     rng = np.random.default_rng(21)
     ident = make_identity(5)
     img = rng.integers(20, 110, size=(288, 512, 3), dtype=np.uint8)
-    render_face(img, 256, 144, 120.0, rng, identity=ident)
+    # 220 px -> ~55 px after the 512->DET letterbox (trained pixel range)
+    render_face(img, 256, 144, 220.0, rng, identity=ident)
 
     faces = engine.encode_image(img)
     if not faces:
@@ -379,7 +387,8 @@ def test_gallery_snapshot_resolves_removed_identity(engine):
     slot index, and live name_of() would blame whoever got swapped in."""
     from frp_tpu.train.synthetic import make_scene
 
-    img, _, _, _ = make_scene(DET, np.random.default_rng(5), max_faces=1)
+    img, _, _, _ = make_scene(DET, np.random.default_rng(5), max_faces=1,
+                              portrait=True)
     out0 = engine.process_frames(img[None])
     if not out0["valid"].any():
         pytest.skip("no detection at this size")

@@ -69,7 +69,9 @@ def test_iou_matrix_golden():
     np.testing.assert_allclose(np.diag(iou), 1.0)
 
 
-def _numpy_greedy_nms(boxes, scores, conf, iou_t):
+def _numpy_greedy_nms(boxes, scores, conf, iou_t, iom_t=0.5):
+    """Mirror of ops/nms.py semantics: suppress on IoU > iou_t OR (when
+    iom_t > 0) intersection-over-min-area > iom_t."""
     order = np.argsort(-scores)
     keep = []
     suppressed = np.zeros(len(scores), bool)
@@ -86,7 +88,10 @@ def _numpy_greedy_nms(boxes, scores, conf, iou_t):
             inter = max(ix2 - ix1, 0) * max(iy2 - iy1, 0)
             ai = (bi[2] - bi[0]) * (bi[3] - bi[1])
             aj = (bj[2] - bj[0]) * (bj[3] - bj[1])
-            if scores[j] <= scores[i] and inter / (ai + aj - inter + 1e-12) > iou_t:
+            hit = inter / (ai + aj - inter + 1e-12) > iou_t
+            if iom_t > 0:
+                hit = hit or inter / (min(ai, aj) + 1e-12) > iom_t
+            if scores[j] <= scores[i] and hit:
                 suppressed[j] = True
     return sorted(keep, key=lambda i: -scores[i])
 
@@ -264,3 +269,35 @@ def test_fedavg_empty_updates_raise_fedavg_error():
 
     with _pytest.raises(FedAvgError):
         check_layer_consistency({})
+
+
+def test_nms_iom_collapses_nested_duplicates():
+    """Intersection-over-min-area suppression (the closeup enroll fix): a
+    shifted undersized duplicate whose IoU with the main box is below the
+    IoU threshold but whose area mostly nests inside it must be suppressed;
+    a genuinely separate face must survive; iom_thresh=0 restores the old
+    pure-IoU behavior."""
+    boxes = np.array(
+        [
+            [100, 100, 300, 340],   # main face
+            [130, 150, 230, 260],   # nested part-box: IoU ~0.23, IoM 1.0
+            [400, 100, 520, 240],   # separate second face
+        ],
+        np.float32,
+    )
+    scores = np.array([0.99, 0.8, 0.95], np.float32)
+    ldm = np.zeros((3, 10), np.float32)
+    out = nms_padded(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(ldm),
+        pre_topk=3, max_out=4, conf_thresh=0.5, iou_thresh=0.4,
+    )
+    kept = np.asarray(out["boxes"])[np.asarray(out["valid"])]
+    assert int(out["count"]) == 2
+    np.testing.assert_allclose(np.sort(kept[:, 0]), [100, 400])
+
+    out_pure = nms_padded(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(ldm),
+        pre_topk=3, max_out=4, conf_thresh=0.5, iou_thresh=0.4,
+        iom_thresh=0.0,
+    )
+    assert int(out_pure["count"]) == 3  # old behavior kept the duplicate
