@@ -34,13 +34,15 @@ import numpy as np
 
 CPU_BASELINE_FACES_PER_SEC = 33.3  # see module docstring + BASELINE.md
 
-DEPTH = 24         # submissions in flight (sweep: benchmarks/
-GROUP = 12         # profile_pipeline_sweep.py — the delta transfer cut the
-#                    per-batch wire cost ~4x, moving the optimum from
-#                    (6, 3) to (24, 12): 23.2 vs 39.5 ms/batch measured.
-#                    Trade: ~0.55 s pipeline latency at depth 24 — the
-#                    scan loop's detection-to-alert latency uses the
-#                    blocking single-batch path, unaffected.
+DEPTH = 48         # submissions in flight (sweep: benchmarks/
+GROUP = 24         # profile_pipeline_sweep.py — shrinking the wire moved
+#                    the optimum twice: delta transfer took (6, 3) to
+#                    (24, 12) = 23.2 ms/batch, and the 128-byte delta
+#                    blocks (1.9x fewer bytes again) to (48, 24) =
+#                    15.2-16.8 ms/batch measured ((64, 32) ties, (96, 48)
+#                    regresses). Trade: ~0.8 s pipeline latency at depth
+#                    48 — the scan loop's detection-to-alert latency uses
+#                    the blocking single-batch path, unaffected.
 WINDOW = 36        # timed batches per measurement window
 DELTA_BLOCK = int(os.getenv("BENCH_DELTA_BLOCK", "128"))
 #                  delta-transfer block bytes: 128 ships ~1.9x fewer bytes

@@ -126,7 +126,7 @@ def main():
             t.join(timeout=5.0)
 
     print(f"{'depth':>6} {'group':>6} {'ms/batch':>9} {'faces/s':>9}")
-    import ast, os
+    import ast
     combos = ast.literal_eval(os.environ.get("SWEEP_COMBOS", "[(6, 3), (6, 6), (8, 4), (9, 3), (12, 6), (12, 4), (8, 8), (16, 8)]"))
     for depth, group in combos:
         per = min(window(depth, group) for _ in range(2))

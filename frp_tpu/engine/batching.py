@@ -25,6 +25,10 @@ try:
 except ImportError:  # pragma: no cover - cv2 is present in the target image
     cv2 = None
 
+import os
+
+_RESIZE_INTERP = os.getenv("FRP_RESIZE_INTERP", "linear")  # linear | area
+
 
 @dataclass
 class BatchMeta:
@@ -43,14 +47,28 @@ def letterbox(frame: np.ndarray, size: int, to_rgb: bool = False, rows: int | No
 
     ``rows`` < size produces the ACTIVE-AREA canvas: a 16:9 1080p frame only
     fills 640x360 of a det-640 square, so shipping 640x368 and letting the
-    device pad the dead rows cuts host->device bytes by ~43% with
-    bit-identical detector input (the pad is black either way)."""
+    device pad the dead rows cuts host->device bytes by ~43% with identical
+    detector input (bit-equal under FRP_RESIZE_INTERP=area; the faster
+    linear default admits <=1 LSB of chroma rounding — cvtColor's
+    fixed-point 2x2 chroma average can round a .5 differently per canvas
+    height; tests/test_engine.py::test_active_rows_transfer_equivalence)."""
     h, w = frame.shape[:2]
     rows = size if rows is None else rows
     s = min(size / w, rows / h)
     nw, nh = max(1, int(round(w * s))), max(1, int(round(h * s)))
     if cv2 is not None:
-        interp = cv2.INTER_AREA if s < 1.0 else cv2.INTER_LINEAR
+        # Downscale interpolation is a serving-throughput knob: INTER_AREA's
+        # box filter costs 3.1 ms per 1080p frame on this one-core host (the
+        # single largest host cost, 25 of 29 ms/batch) while INTER_LINEAR
+        # costs 0.65 ms with slight aliasing — the detector is trained on
+        # BOTH distributions (train/synthetic.py _resize_bilinear mixes
+        # area/linear), recall measured equal. FRP_RESIZE_INTERP=area
+        # restores the box filter.
+        if s < 1.0:
+            interp = (cv2.INTER_AREA
+                      if _RESIZE_INTERP == "area" else cv2.INTER_LINEAR)
+        else:
+            interp = cv2.INTER_LINEAR
         resized = cv2.resize(frame, (nw, nh), interpolation=interp)
         if to_rgb:
             resized = cv2.cvtColor(resized, cv2.COLOR_BGR2RGB)
@@ -135,7 +153,7 @@ def build_batch_i420(
 
     ``active_rows`` ships only that many letterboxed rows per frame (the
     16:9 active area of a det square); the engine's ingest stage pads the
-    dead rows back on device (black, bit-identical to the host letterbox),
+    dead rows back on device (black, identical to the host letterbox),
     cutting upload bytes by rows/size. Meta offsets are in FULL-square
     coordinates so decode/unmap are unchanged.
 

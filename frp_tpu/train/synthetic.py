@@ -352,7 +352,10 @@ def make_batch(batch: int, size: int, rng, max_faces: int = 3, difficulty=None,
         i, b, l, v = make_scene(render, rng, max_faces, difficulty=difficulty,
                                 portrait=bool(rng.random() < portrait_frac))
         if render != size:
-            i = _resize_bilinear(i, size)
+            # alternate box-filter and bilinear decimation: serving letterboxes
+            # with INTER_LINEAR by default (throughput) but can be switched to
+            # INTER_AREA — the detector must be scale-robust to both
+            i = _resize_bilinear(i, size, linear=bool(rng.random() < 0.5))
         imgs.append(i)
         boxes.append(b)   # normalized coords are scale-invariant
         ldms.append(l)
@@ -365,11 +368,14 @@ def make_batch(batch: int, size: int, rng, max_faces: int = 3, difficulty=None,
     )
 
 
-def _resize_bilinear(img: np.ndarray, size: int) -> np.ndarray:
+def _resize_bilinear(img: np.ndarray, size: int, linear: bool = False) -> np.ndarray:
     try:
         import cv2
 
-        return cv2.resize(img, (size, size), interpolation=cv2.INTER_AREA)
+        return cv2.resize(
+            img, (size, size),
+            interpolation=cv2.INTER_LINEAR if linear else cv2.INTER_AREA,
+        )
     except ImportError:
         # real 2x2 box average, not nearest subsampling: the downsample's
         # SOFTNESS is the augmentation signal (a detector trained on crisp

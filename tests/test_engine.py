@@ -225,11 +225,16 @@ def test_active_rows_transfer_equivalence(engine):
     assert np.allclose(meta_act.scales, meta_full.scales)
     assert np.allclose(meta_act.offsets, meta_full.offsets, atol=1.0)
 
-    # the device sees the same det square: ingest(act) == ingest(full)
+    # the device sees the same det square. Bit-equal under FRP_RESIZE_INTERP=
+    # area; the linear default admits <=1 LSB of chroma: cvtColor's fixed-
+    # point 2x2 chroma averaging can round a .5 boundary differently on the
+    # two canvas heights (measured: one channel of one pixel).
     rgb_full = np.asarray(engine._stages["ingest"](jnp.asarray(full)))
     rgb_act = np.asarray(engine._stages["ingest"](jnp.asarray(act)))
     assert rgb_full.shape == rgb_act.shape == (2, DET, DET, 3)
-    assert np.array_equal(rgb_full, rgb_act)
+    diff = np.abs(rgb_full.astype(np.int16) - rgb_act.astype(np.int16))
+    assert diff.max() <= 1 and (diff != 0).mean() < 1e-4, (
+        diff.max(), int((diff != 0).sum()))
 
     out_full = engine.process_frames(full, fmt="yuv420")
     out_act = engine.process_frames(act, fmt="yuv420")
