@@ -347,7 +347,11 @@ def make_batch(batch: int, size: int, rng, max_faces: int = 3, difficulty=None,
     """
     imgs, boxes, ldms, valids = [], [], [], []
     for k in range(batch):
-        scale = 1.0 if k % 2 == 0 else float(rng.uniform(1.5, 2.0))
+        # up to 3x: serving letterboxes 1080p -> det 640 at scale 1/3, so the
+        # augmentation must cover that decimation ratio (with both area and
+        # linear kernels, below) or landmark localization degrades on the
+        # aliased serving input
+        scale = 1.0 if k % 2 == 0 else float(rng.uniform(1.5, 3.0))
         render = int(size * scale)
         i, b, l, v = make_scene(render, rng, max_faces, difficulty=difficulty,
                                 portrait=bool(rng.random() < portrait_frac))
