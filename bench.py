@@ -44,7 +44,8 @@ GROUP = 24         # profile_pipeline_sweep.py — shrinking the wire moved
 #                    48 — the scan loop's detection-to-alert latency uses
 #                    the blocking single-batch path, unaffected.
 WINDOW = 36        # timed batches per measurement window
-DELTA_BLOCK = int(os.getenv("BENCH_DELTA_BLOCK", "128"))
+DELTA_BLOCK = int(os.getenv("FRP_DELTA_BLOCK",
+                            os.getenv("BENCH_DELTA_BLOCK", "128")))
 #                  delta-transfer block bytes: 128 ships ~1.9x fewer bytes
 #                  than the round-3 initial 256 on these scenes (7.0x vs
 #                  3.8x overall wire compression, same scatter row count --
@@ -148,21 +149,23 @@ def main():
 
     # temporal-delta transfer (engine.submit_encoded): the wire is the
     # bottleneck, and consecutive scans of a surveillance scene differ only
-    # where subjects move — ship changed 256-byte blocks instead of full
-    # frames. Pre-compile the delta stage at every capacity rung so the
-    # first timed window doesn't pay it.
+    # where subjects move — ship changed DELTA_BLOCK-byte blocks instead of
+    # full frames. Pre-compile the delta stage at every capacity rung so the
+    # first timed window doesn't pay it (shapes must match the encoder's
+    # block size or the real compiles land in the first timed window).
     from frp_tpu.engine.batching import DeltaEncoder
 
     enc = DeltaEncoder(block_bytes=DELTA_BLOCK)
-    use_delta = fmt == "yuv420" and batch.reshape(8, -1).shape[1] % 256 == 0
+    use_delta = (fmt == "yuv420"
+                 and batch.reshape(8, -1).shape[1] % DELTA_BLOCK == 0)
     wire = {"shipped": 0, "raw_equiv": 0, "raw_batches": 0, "delta_batches": 0}
     if use_delta:
         eng.fetch(eng.submit_encoded(("raw", batch)))
-        nblocks = batch.reshape(8, -1).shape[1] // 256
+        nblocks = batch.reshape(8, -1).shape[1] // DELTA_BLOCK
         for denom in DeltaEncoder.LADDER:
             cap = nblocks // denom
             idx = np.full((8, cap), -1, np.int32)
-            blocks = np.zeros((8, cap, 256), np.uint8)
+            blocks = np.zeros((8, cap, DELTA_BLOCK), np.uint8)
             eng.fetch(eng.submit_encoded(("delta", idx, blocks)))
     # faces/batch with the walking subject present (11 static + walker)
     advance_motion()
@@ -250,7 +253,12 @@ def main():
                 del handles[:GROUP]
                 done += GROUP
             eng.fetch_many(handles)
-            return (time.perf_counter() - t0) / (n + DEPTH)
+            # `done` can overshoot n when GROUP does not divide n; every
+            # submitted batch (done + the DEPTH prefill) is fetched inside
+            # the timed region, so divide by what was actually processed —
+            # dividing by n + DEPTH under-reported throughput ~12% at
+            # GROUP=24 vs WINDOW=36
+            return (time.perf_counter() - t0) / (done + DEPTH)
         finally:
             stop.set()
             # join BEFORE the next window's enc.reset(): an in-flight

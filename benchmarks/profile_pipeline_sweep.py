@@ -120,7 +120,10 @@ def main():
                 del handles[:group]
                 done += group
             eng.fetch_many(handles)
-            return (time.perf_counter() - t0) / (n + depth)
+            # done overshoots n when group does not divide it; divide by
+            # batches actually processed or large-group combos look
+            # 9-20% faster than they are (this biased the first sweep)
+            return (time.perf_counter() - t0) / (done + depth)
         finally:
             stop.set()
             t.join(timeout=5.0)

@@ -195,8 +195,9 @@ def test_fetch_many_groups_batches(engine):
 
 def test_active_rows_transfer_equivalence(engine):
     """Active-area I420 transfer (batching.build_batch_i420 active_rows=...)
-    must feed the detector bit-identical pixels to the full-square path —
-    same letterbox content, device-side pad replacing the host pad."""
+    must feed the detector the same det square as the full-square path —
+    bit-identical under FRP_RESIZE_INTERP=area; the linear default admits
+    <=1 LSB of chroma on <0.01% of pixels (asserted below)."""
     import cv2
 
     from frp_tpu.engine.batching import (

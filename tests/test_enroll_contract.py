@@ -72,3 +72,19 @@ def test_surveillance_scene_recall_intact(engine):
                         float(rng.uniform(150, 240)), rng)
             n += 1
     assert len(engine.encode_image(rgb)) == n
+
+
+def test_overlapping_distinct_faces_both_survive(engine):
+    """The IoM suppression term must not delete a genuinely distinct
+    smaller face that partially overlaps a larger one (near/far subjects).
+    Boxes here overlap ~25-35% of the smaller face's area — above the IoU
+    threshold's reach but below the 0.5 IoM default."""
+    rng = np.random.default_rng(77)
+    img = rng.integers(20, 120, size=(720, 1280, 3), dtype=np.uint8)
+    # large near face and a smaller face shifted so bodies overlap partially
+    render_face(img, 540, 360, 340.0, rng, identity=make_identity(1))
+    render_face(img, 800, 300, 170.0, rng, identity=make_identity(2))
+    faces = engine.encode_image(img)
+    assert len(faces) == 2, [
+        ([round(v) for v in f["box"]], round(f["score"], 2)) for f in faces
+    ]
