@@ -82,8 +82,15 @@ def main():
     emb_crop = embed_crops(crops, apply_calibration=False)
     csame, cdiff = pair_distances(emb_crop, clabels)
 
+    import jax
+
+    from frp_tpu.engine.batching import _resize_interp
+
     payload = {
         "distance_scale": round(scale, 6),
+        # provenance: numbers depend on backend numerics + decimation kernel
+        "backend": jax.default_backend(),
+        "resize_interp": _resize_interp(),
         "fpr1_threshold_raw": round(tau_fpr, 4),
         "eer_threshold_raw": round(tau_eer, 4),
         "calib_seed": CALIB_SEED,

@@ -51,8 +51,17 @@ def main():
 
     eng = RecognitionEngine(load_config(det_size=640, max_faces_per_frame=16))
     rng = np.random.default_rng(SEED)
+    import jax
+
+    from frp_tpu.engine.batching import _resize_interp
+
     out: dict = {"seed": SEED, "identities": args.identities,
-                 "variants": args.variants, "tiers": {}}
+                 "variants": args.variants,
+                 # provenance: the numbers depend on the backend's numerics
+                 # and the serving decimation kernel in effect
+                 "backend": jax.default_backend(),
+                 "resize_interp": _resize_interp(),
+                 "tiers": {}}
     for tier in (0, 1, 2):
         scenes, slabels = build_scene_set(
             args.identities, args.variants, SEED, difficulty=tier
