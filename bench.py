@@ -43,7 +43,11 @@ GROUP = 24         # profile_pipeline_sweep.py — shrinking the wire moved
 #                    regresses). Trade: ~0.8 s pipeline latency at depth
 #                    48 — the scan loop's detection-to-alert latency uses
 #                    the blocking single-batch path, unaffected.
-WINDOW = 36        # timed batches per measurement window
+WINDOW = 96        # timed batches per window — must stay LARGE relative to
+#                    DEPTH: the prefill's device work starts before the
+#                    timer, so small windows overstate throughput; 96 = 2x
+#                    depth keeps that contamination bounded and is an exact
+#                    multiple of GROUP
 DELTA_BLOCK = int(os.getenv("FRP_DELTA_BLOCK",
                             os.getenv("BENCH_DELTA_BLOCK", "128")))
 #                  delta-transfer block bytes: 128 ships ~1.9x fewer bytes
@@ -256,8 +260,8 @@ def main():
             # `done` can overshoot n when GROUP does not divide n; every
             # submitted batch (done + the DEPTH prefill) is fetched inside
             # the timed region, so divide by what was actually processed —
-            # dividing by n + DEPTH under-reported throughput ~12% at
-            # GROUP=24 vs WINDOW=36
+            # dividing by n + DEPTH under-reported throughput ~12% when
+            # GROUP did not divide the window
             return (time.perf_counter() - t0) / (done + DEPTH)
         finally:
             stop.set()

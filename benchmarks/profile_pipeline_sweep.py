@@ -88,7 +88,11 @@ def main():
             ("delta", np.full((8, cap), -1, np.int32),
              np.zeros((8, cap, blk), np.uint8))))
 
-    def window(depth, group, n=24):
+    def window(depth, group, n=None):
+        # n must dominate depth or the untimed prefill's device work
+        # flatters deep pipelines (this biased the first (48,24) sweep —
+        # bench.py's sustained windows are the ground truth)
+        n = n or max(24, 2 * depth)
         import queue
         import threading
 
