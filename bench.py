@@ -26,6 +26,7 @@ import json
 import os
 import statistics
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -33,6 +34,33 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 CPU_BASELINE_FACES_PER_SEC = 33.3  # see module docstring + BASELINE.md
+
+_T_START = time.perf_counter()
+_PHASE = ["startup"]
+
+
+def log(msg: str) -> None:
+    """Progress to stderr so a hung attempt is diagnosable from the captured
+    tail (VERDICT r3 weak #1: bench printed nothing until fully done, making
+    a wedged relay indistinguishable from a slow run)."""
+    print(f"[bench +{time.perf_counter() - _T_START:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def phase(name: str) -> None:
+    _PHASE[0] = name
+    log(f"phase: {name}")
+
+
+def _watchdog(interval: float = 60.0) -> None:
+    """Heartbeat while a phase blocks (backend init / remote compile can
+    legitimately take minutes; a wedged chip wait looks identical without
+    this)."""
+    def run():
+        while True:
+            time.sleep(interval)
+            log(f"still running: phase={_PHASE[0]}")
+    threading.Thread(target=run, daemon=True).start()
 
 DEPTH = 48         # submissions in flight (sweep: benchmarks/
 GROUP = 24         # profile_pipeline_sweep.py — shrinking the wire moved
@@ -43,10 +71,10 @@ GROUP = 24         # profile_pipeline_sweep.py — shrinking the wire moved
 #                    regresses). Trade: ~0.8 s pipeline latency at depth
 #                    48 — the scan loop's detection-to-alert latency uses
 #                    the blocking single-batch path, unaffected.
-WINDOW = 96        # timed batches per window — must stay LARGE relative to
-#                    DEPTH: the prefill's device work starts before the
-#                    timer, so small windows overstate throughput; 96 = 2x
-#                    depth keeps that contamination bounded and is an exact
+WINDOW = 96        # timed batches per window — large relative to DEPTH so
+#                    the measurement reflects sustained steady state (the
+#                    timer now starts BEFORE the prefill, so all counted
+#                    work is inside the window); 96 = 2x depth, an exact
 #                    multiple of GROUP
 DELTA_BLOCK = int(os.getenv("FRP_DELTA_BLOCK",
                             os.getenv("BENCH_DELTA_BLOCK", "128")))
@@ -58,6 +86,12 @@ WINDOWS = 3        # windows per attempt (best window reported per attempt)
 
 
 def main():
+    # internal wall-clock budget: the attempt must emit a valid JSON line
+    # BEFORE the driver's external per-attempt timeout kills it. Checked
+    # between windows; one completed window is enough for a number.
+    budget_s = float(os.getenv("BENCH_BUDGET_S", "780"))
+    _watchdog()
+    phase("imports")
     from frp_tpu.config import load_config
     from frp_tpu.engine.batching import active_rows_for, letterbox
     from frp_tpu.engine.pipeline import RecognitionEngine
@@ -72,7 +106,9 @@ def main():
     # and upload bytes); default stays at the reference's det 640
     det = int(os.getenv("BENCH_DET_SIZE", "640"))
     cfg = load_config(det_size=det, max_faces_per_frame=16, frames_per_batch=8)
+    phase("engine init (backend grab + stage build)")
     eng = RecognitionEngine(cfg)
+    log(f"engine ready; compile cache: {os.getenv('FRP_COMPILE_CACHE', '/tmp/frp_jax_cache')}")
     rng = np.random.default_rng(0)
     for i in range(100):
         eng.gallery.add(f"person_{i}", rng.normal(size=cfg.embed_dim))
@@ -148,8 +184,10 @@ def main():
     batch, fmt = host_prep()
     # warmup / compile; also triggers the relay's degraded mode so the timed
     # windows measure serving reality
+    phase("warmup compile (full pipeline, raw path)")
     out = eng.fetch(eng.submit(batch, fmt=fmt))
     faces_per_batch = int(out["count"].sum())
+    log(f"warmup done; faces_per_batch={faces_per_batch}")
 
     # temporal-delta transfer (engine.submit_encoded): the wire is the
     # bottleneck, and consecutive scans of a surveillance scene differ only
@@ -164,6 +202,7 @@ def main():
                  and batch.reshape(8, -1).shape[1] % DELTA_BLOCK == 0)
     wire = {"shipped": 0, "raw_equiv": 0, "raw_batches": 0, "delta_batches": 0}
     if use_delta:
+        phase("delta-stage precompile (ladder rungs)")
         eng.fetch(eng.submit_encoded(("raw", batch)))
         nblocks = batch.reshape(8, -1).shape[1] // DELTA_BLOCK
         for denom in DeltaEncoder.LADDER:
@@ -171,6 +210,7 @@ def main():
             idx = np.full((8, cap), -1, np.int32)
             blocks = np.zeros((8, cap, DELTA_BLOCK), np.uint8)
             eng.fetch(eng.submit_encoded(("delta", idx, blocks)))
+            log(f"delta rung 1/{denom} compiled")
     # faces/batch with the walking subject present (11 static + walker)
     advance_motion()
     batch_m, fmt_m = host_prep()
@@ -247,8 +287,14 @@ def main():
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         try:
-            handles = [submit_item(q.get()) for _ in range(DEPTH)]
+            # timer starts BEFORE the prefill: every counted batch's host
+            # prep/encode AND device work falls inside the timed region
+            # (advisor r3: starting after the prefill let up to DEPTH/(n+
+            # DEPTH) of the counted work escape the window, inflating
+            # faces/s by tens of percent when the producer is the
+            # bottleneck)
             t0 = time.perf_counter()
+            handles = [submit_item(q.get()) for _ in range(DEPTH)]
             done = 0
             while done < n:
                 for _ in range(GROUP):
@@ -258,10 +304,8 @@ def main():
                 done += GROUP
             eng.fetch_many(handles)
             # `done` can overshoot n when GROUP does not divide n; every
-            # submitted batch (done + the DEPTH prefill) is fetched inside
-            # the timed region, so divide by what was actually processed —
-            # dividing by n + DEPTH under-reported throughput ~12% when
-            # GROUP did not divide the window
+            # batch submitted after t0 (done + the DEPTH prefill) is fetched
+            # inside the timed region, so divide by what was processed
             return (time.perf_counter() - t0) / (done + DEPTH)
         finally:
             stop.set()
@@ -273,9 +317,18 @@ def main():
 
     # the serving runtime's relay has bistable per-process dispatch cost;
     # best window reports the achievable steady state, median the typical one
-    windows = [measure(WINDOW) for _ in range(WINDOWS)]
+    phase("timed windows")
+    windows = []
+    for k in range(WINDOWS):
+        if windows and (time.perf_counter() - _T_START) > budget_s:
+            log(f"budget {budget_s:.0f}s reached after {len(windows)} "
+                "window(s); emitting partial result")
+            break
+        windows.append(measure(WINDOW))
+        log(f"window {len(windows)}/{WINDOWS}: "
+            f"{windows[-1] * 1000:.1f} ms/batch")
     per_batch = min(windows)
-    batches = WINDOWS * (WINDOW + DEPTH)
+    batches = len(windows) * (WINDOW + DEPTH)
     frames_per_sec = 8 / per_batch
     faces_per_sec = faces_per_batch / per_batch
 
@@ -291,6 +344,7 @@ def main():
     # the serving scan loop ships deltas (cfg.delta_transfer default on), so
     # the honest alert-path latency includes the encode + delta upload, not
     # a full raw re-upload per scan; a fresh encoder keyframes first
+    phase("detection-to-alert latency")
     lat = []
     alert_enc = DeltaEncoder(block_bytes=DELTA_BLOCK) if use_delta else None
     for k in range(15):
@@ -327,6 +381,8 @@ def main():
                     "fetch_group": GROUP,
                     "p50_detection_to_alert_ms": round(p50_alert_ms, 1),
                     "batches": batches,
+                    "windows_completed": len(windows),
+                    "windows_planned": WINDOWS,
                     # MFU accounting (VERDICT r2 #4): model FLOPs from XLA
                     # cost analysis vs the v5e 197 TFLOP/s bf16 peak. The
                     # pipeline is wire-bound (BASELINE.md "Where the time
@@ -357,39 +413,69 @@ def main():
     )
 
 
-def main_with_retries(max_attempts: int = 3, good_enough: float = 45.0):
+def main_with_retries(max_attempts: int = 3):
     """The serving relay's per-process dispatch severity is a lottery (the
     same code measures ~66 to ~210 ms/batch depending on the state the
     process's relay connection lands in). Each attempt runs the full
     measurement in a FRESH subprocess (new relay connection, new draw); the
     best JSON line wins and the median across attempts is reported alongside.
-    Stops early once vs_baseline >= good_enough."""
+
+    Driver-proofing (VERDICT r3 #1): every attempt failure mode — timeout,
+    crash, empty stdout — is caught and logged; the loop always continues to
+    the next attempt, and ALL attempts run (no early exit, so the reported
+    median is a real >=3-attempt median whenever the relay cooperates). The
+    child enforces its own BENCH_BUDGET_S (default 780 s) and emits a valid
+    partial JSON before this parent's external timeout would fire."""
     import subprocess
 
+    timeout_s = float(os.getenv("BENCH_ATTEMPT_TIMEOUT", "900"))
     results = []
     for attempt in range(max_attempts):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--once"],
-            capture_output=True,
-            text=True,
-            timeout=900,
-        )
+        log(f"attempt {attempt + 1}/{max_attempts} starting "
+            f"(timeout {timeout_s:.0f}s)")
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--once"],
+                capture_output=True,
+                text=True,
+                timeout=timeout_s,
+            )
+            stdout, stderr = proc.stdout, proc.stderr
+        except subprocess.TimeoutExpired as e:
+            # a wedged chip wait / cold remote compile must not abort the
+            # whole bench (this exact exception produced BENCH_r03 rc=1);
+            # surface the child's progress tail so the hang is diagnosable
+            stdout = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+            stderr = (e.stderr or b"").decode() if isinstance(e.stderr, bytes) else (e.stderr or "")
+            log(f"attempt {attempt + 1} timed out after {timeout_s:.0f}s; "
+                f"child progress tail:\n{stderr[-800:]}")
+            if attempt + 1 < max_attempts:
+                # the killed child may have held the chip; the relay needs
+                # ~a minute to recover before the next grab (CLAUDE.md #2)
+                log("sleeping 90s for relay recovery before next attempt")
+                time.sleep(90)
+            continue
+        except Exception as e:  # pragma: no cover - defensive
+            log(f"attempt {attempt + 1} failed to launch: {e!r}")
+            continue
         line = None
-        for out_line in reversed(proc.stdout.strip().splitlines()):
+        for out_line in reversed(stdout.strip().splitlines()):
             if out_line.startswith("{"):
                 line = out_line
                 break
         if line is None:
-            print(proc.stdout[-500:], file=sys.stderr)
-            print(proc.stderr[-800:], file=sys.stderr)
+            log(f"attempt {attempt + 1}: no JSON on stdout (rc="
+                f"{proc.returncode}); tails follow")
+            print(stdout[-500:], file=sys.stderr)
+            print(stderr[-800:], file=sys.stderr)
             continue
         results.append(json.loads(line))
-        if max(r["vs_baseline"] for r in results) >= good_enough:
-            break
+        log(f"attempt {attempt + 1}: {results[-1]['value']} faces/s")
     if not results:
         raise SystemExit("all bench attempts failed")
     best = max(results, key=lambda r: r["value"])
-    best["detail"]["attempts"] = attempt + 1
+    best["detail"]["attempts"] = max_attempts
+    best["detail"]["attempts_succeeded"] = len(results)
     best["detail"]["median_faces_per_sec_across_attempts"] = round(
         statistics.median(r["value"] for r in results), 1
     )

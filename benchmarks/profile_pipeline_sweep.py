@@ -114,8 +114,10 @@ def main():
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         try:
-            handles = [eng.submit_encoded(q.get()) for _ in range(depth)]
+            # timer before the prefill: all counted work inside the window
+            # (advisor r3 accounting fix)
             t0 = time.perf_counter()
+            handles = [eng.submit_encoded(q.get()) for _ in range(depth)]
             done = 0
             while done < n:
                 for _ in range(group):

@@ -66,9 +66,12 @@ def prep(frames, size):
 
 def pipelined(eng, batch, n=30, depth=6, group=3):
     """Packed submissions, grouped drains (one host sync per `group`
-    batches) — the tuned serving loop; see bench.py module docstring."""
-    handles = [eng.submit(batch, fmt="yuv420") for _ in range(depth)]
+    batches) — the tuned serving loop; see bench.py module docstring.
+    Timer starts before the prefill so all counted work is inside the timed
+    region (advisor r3 accounting fix), and the divisor is batches actually
+    processed (done can overshoot n when group does not divide it)."""
     t0 = time.perf_counter()
+    handles = [eng.submit(batch, fmt="yuv420") for _ in range(depth)]
     done = 0
     while done < n:
         for _ in range(group):
@@ -77,7 +80,7 @@ def pipelined(eng, batch, n=30, depth=6, group=3):
         del handles[:group]
         done += group
     eng.fetch_many(handles)
-    return (time.perf_counter() - t0) / (n + depth)
+    return (time.perf_counter() - t0) / (done + depth)
 
 
 def headline_attempts(n: int) -> list[dict]:

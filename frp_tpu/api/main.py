@@ -92,6 +92,16 @@ def build_app(ctx: AppContext | None = None, **ctx_kwargs):
             {"stages": ctx.timers.summary(), "engine": ctx.engine.metrics.as_dict()}
         )
 
+    @router.get("/debug/delta")
+    async def delta_stats(request: Request):
+        """Temporal-delta transfer health: keyframe/delta/desync counters so
+        an operator can see encoder/engine desync (stale reconstructions are
+        otherwise invisible — the pipeline happily serves them)."""
+        return json_response(
+            dict(getattr(ctx.engine, "delta_stats",
+                         {"keyframes": 0, "deltas": 0, "desyncs": 0}))
+        )
+
     @router.get("/debug/memory")
     async def memory(request: Request):
         return json_response(memory_info())
@@ -131,6 +141,15 @@ async def serve(
                 ctx.run_scan, ctx.cfg.face_tolerance, ctx.cfg.frame_skip, 10,
                 True,
             )
+            # the dry scan only compiles the raw-keyframe path; each delta
+            # capacity rung would otherwise compile lazily on its first live
+            # hit (5-40 s remote compile) while holding the scan mutex —
+            # stalling the scan loop and /camera/alerts (advisor r3)
+            if getattr(ctx.cfg, "delta_transfer", False) and hasattr(
+                ctx.engine, "precompile_delta_rungs"
+            ):
+                rungs = await asyncio.to_thread(ctx.engine.precompile_delta_rungs)
+                logger.info("delta-transfer rungs precompiled: %d", rungs)
         except Exception:
             logger.exception("engine warmup failed (continuing)")
 

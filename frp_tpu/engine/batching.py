@@ -16,6 +16,7 @@ multi-stream batching").
 
 from __future__ import annotations
 
+import itertools
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -280,6 +281,24 @@ def unmap_results(out: dict, meta: BatchMeta) -> list[dict]:
 # temporal delta transfer (round-3: attack the ~57 MB/s relay wire)
 # ---------------------------------------------------------------------------
 
+class DeltaPayload(tuple):
+    """A DeltaEncoder.encode() result: a plain ("raw", ...)/("delta", ...)
+    tuple tagged with the producing encoder's identity and a per-encoder
+    sequence number. The engine validates the tags in submit_encoded so two
+    encoders interleaving payloads — or a dropped payload — raise loudly
+    instead of silently reconstructing against the wrong resident batch
+    (advisor r3: the single-encoder invariant was documented, not enforced).
+    Unpacks/indexes exactly like the underlying tuple, so hand-built untagged
+    tuples (precompile no-ops, tests) still work — they just skip validation.
+    """
+
+    def __new__(cls, data, enc_id: int, seq: int):
+        self = super().__new__(cls, data)
+        self.enc_id = enc_id
+        self.seq = seq
+        return self
+
+
 class DeltaEncoder:
     """Block-sparse temporal delta coding for I420 batches.
 
@@ -300,24 +319,36 @@ class DeltaEncoder:
 
     LADDER = (16, 8, 4, 2)  # denominators: cap = n_blocks/16 ... /2
 
+    _next_id = itertools.count(1)  # distinct per-encoder identity tags
+
     def __init__(self, block_bytes: int = 512):
         self.block = int(block_bytes)
         self._prev: np.ndarray | None = None  # [B, NBYTES] last-shipped bytes
+        self._enc_id = next(DeltaEncoder._next_id)
+        self._seq = 0
 
     def reset(self) -> None:
         self._prev = None
+
+    def _out(self, data) -> DeltaPayload:
+        self._seq += 1
+        return DeltaPayload(data, self._enc_id, self._seq)
 
     def encode(self, batch: np.ndarray):
         """batch: [B, rows*3/2, size] uint8 -> ("raw", batch) or
         ("delta", idx [B, cap] int32 (-1 padded), blocks [B, cap, K] uint8).
         Updates internal previous-frame state either way."""
         b = batch.shape[0]
+        if b == 0:
+            # degrade gracefully on an empty camera set (reshape(0, -1) is
+            # invalid numpy and would crash the scan loop)
+            return self._out(("raw", batch))
         flat = batch.reshape(b, -1)
         nbytes = flat.shape[1]
         if nbytes % self.block != 0:
             # keep device flatten/scatter shape-exact: no tail block
             self._prev = None
-            return ("raw", batch)
+            return self._out(("raw", batch))
         nblocks = nbytes // self.block
         if self._prev is None or self._prev.shape != flat.shape:
             # COPY, never a view: ascontiguousarray of an already-contiguous
@@ -325,7 +356,7 @@ class DeltaEncoder:
             # preallocated batch would then compare each frame against
             # itself and ship empty deltas forever
             self._prev = flat.copy()
-            return ("raw", batch)
+            return self._out(("raw", batch))
         flat = np.ascontiguousarray(flat)
         from frp_tpu.utils.native import delta_blocks as native_delta
 
@@ -344,7 +375,7 @@ class DeltaEncoder:
                 break
         if cap is None or cap == 0:
             self._prev = flat.copy()
-            return ("raw", batch)
+            return self._out(("raw", batch))
         idx = np.full((b, cap), -1, np.int32)
         blocks = np.zeros((b, cap, self.block), np.uint8)
         if changed is None:
@@ -356,7 +387,7 @@ class DeltaEncoder:
                 idx[i, : len(ci)] = ci
                 blocks[i, : len(ci)] = fb[i, ci]
         self._prev = flat.copy()
-        return ("delta", idx, blocks)
+        return self._out(("delta", idx, blocks))
 
     @staticmethod
     def apply_host(prev_flat: np.ndarray, idx: np.ndarray, blocks: np.ndarray):

@@ -560,6 +560,13 @@ class RecognitionEngine:
         # device-resident previous I420 batch for delta transfer
         # (submit_encoded); None until the first raw keyframe
         self._delta_prev = None
+        # (enc_id, seq) of the payload the resident batch came from; None
+        # when it came from an untagged (hand-built) payload. Used to detect
+        # interleaved encoders / dropped payloads — either would otherwise
+        # silently reconstruct stale pixels forever (CLAUDE.md gotcha 8c).
+        self._delta_src: tuple[int, int] | None = None
+        # operator-visible desync counters (served on /debug/engine)
+        self.delta_stats = {"keyframes": 0, "deltas": 0, "desyncs": 0}
 
     def _load_calibration(self) -> float:
         """Distance-scale constant from weights_dir/calibration.json (written
@@ -883,10 +890,16 @@ class RecognitionEngine:
         CLAUDE.md gotcha 8b), so static surveillance backgrounds stop being
         re-shipped every scan. Returns a fetch()/fetch_many() handle."""
         tolerance = self.cfg.face_tolerance if tolerance is None else tolerance
+        tag = (
+            (enc.enc_id, enc.seq)
+            if hasattr(enc, "enc_id") and hasattr(enc, "seq")
+            else None
+        )
         if enc[0] == "raw":
             frames_dev = self._put_frames(
                 np.ascontiguousarray(enc[1], dtype=np.uint8)
             )
+            self.delta_stats["keyframes"] += 1
         else:
             _, idx, blocks = enc
             if self._delta_prev is None:
@@ -894,15 +907,67 @@ class RecognitionEngine:
                     "delta payload before any raw keyframe (encoder/engine "
                     "state out of sync — call DeltaEncoder.reset())"
                 )
+            # enforce the single-encoder invariant: a tagged delta must
+            # continue the exact payload stream the resident batch came from
+            # (same encoder, consecutive sequence). A mismatch means a second
+            # encoder interleaved or a payload was dropped — reconstructing
+            # anyway would silently serve stale pixels.
+            if tag is not None and self._delta_src is not None:
+                want_id, want_seq = self._delta_src
+                if tag[0] != want_id or tag[1] != want_seq + 1:
+                    self.delta_stats["desyncs"] += 1
+                    raise RuntimeError(
+                        f"delta payload desync: engine resident batch is from "
+                        f"encoder {want_id} seq {want_seq}, payload is from "
+                        f"encoder {tag[0]} seq {tag[1]} (expected seq "
+                        f"{want_seq + 1}). Reset the encoder; the next encode "
+                        "ships a raw keyframe."
+                    )
             if self.mesh is not None:
                 sh = NamedSharding(self.mesh, P("data"))
                 idx = jax.device_put(np.ascontiguousarray(idx), sh)
                 blocks = jax.device_put(np.ascontiguousarray(blocks), sh)
             frames_dev = self._stages["delta"](self._delta_prev, idx, blocks)
+            self.delta_stats["deltas"] += 1
         self._delta_prev = frames_dev
+        self._delta_src = tag
         b = int(frames_dev.shape[0])
         out, gal_names = self._run_stages(frames_dev, tolerance, "yuv420", packed)
         return out, b, packed, gal_names, time.perf_counter()
+
+    def precompile_delta_rungs(self, block: int | None = None) -> int:
+        """Compile the delta-reconstruction stage at every DeltaEncoder
+        ladder rung for the resident batch shape, using all-padding no-op
+        payloads (idx=-1: reconstructs the resident batch bit-exactly).
+
+        Without this the serving process compiles each rung lazily on its
+        first live hit — a 5-40 s remote compile (CLAUDE.md gotcha 9) taken
+        while holding the scan mutex, stalling the scan loop and any
+        /camera/alerts request (advisor r3). Requires a prior raw keyframe
+        through submit_encoded to establish the shape; returns the number of
+        rungs compiled (0 when there is no resident batch or the shape does
+        not block-align)."""
+        if self._delta_prev is None or "delta" not in self._stages:
+            return 0
+        from frp_tpu.engine.batching import DeltaEncoder
+
+        shape = self._delta_prev.shape
+        b = int(shape[0])
+        nbytes = int(np.prod(shape[1:]))
+        block = block or int(_os.getenv("FRP_DELTA_BLOCK", "128"))
+        if b == 0 or nbytes % block:
+            return 0
+        nblocks = nbytes // block
+        done = 0
+        for denom in DeltaEncoder.LADDER:
+            cap = nblocks // denom
+            if cap == 0:
+                continue
+            idx = np.full((b, cap), -1, np.int32)
+            blocks = np.zeros((b, cap, block), np.uint8)
+            self.fetch(self.submit_encoded(("delta", idx, blocks)))
+            done += 1
+        return done
 
     def fetch(self, handle):
         """Block on a submit() handle and return host-side results."""

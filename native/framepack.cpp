@@ -167,6 +167,7 @@ void framepack_letterbox_i420(const uint8_t** frames, const int* heights,
 int framepack_delta_blocks(const uint8_t* cur, const uint8_t* prev, int n,
                            long frame_bytes, int block, int cap, int32_t* idx,
                            uint8_t* blocks, int n_threads) {
+    if (n <= 0) return 0;  // max_element on empty counts is UB
     const long nblocks = frame_bytes / block;
     std::vector<int> counts(n, 0);
     auto one = [&](int i) {

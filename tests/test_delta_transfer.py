@@ -151,3 +151,107 @@ def test_encoder_first_keyframe_copies_not_aliases():
     buf[:] = 37  # mutate the SAME buffer in place
     out = enc.encode(buf)
     assert out[0] == "raw", "full change must keyframe (state was aliased?)"
+
+
+def test_encoder_empty_batch_returns_raw():
+    """A zero-frame batch (empty camera set after filtering) must degrade to
+    a raw no-op, not crash on reshape(0, -1) (advisor r3)."""
+    enc = DeltaEncoder(block_bytes=128)
+    empty = np.zeros((0, 96 * 3 // 2, 128), np.uint8)
+    kind, payload = enc.encode(empty)
+    assert kind == "raw" and payload.shape[0] == 0
+
+
+def test_engine_rejects_interleaved_encoders(engine):
+    """Two encoders feeding one engine would silently reconstruct against
+    each other's resident batch; the tagged-payload check must raise instead
+    (advisor r3: the single-encoder invariant was only documented)."""
+    seq = _batches(2)
+    enc1 = DeltaEncoder(block_bytes=128)
+    enc2 = DeltaEncoder(block_bytes=128)
+    engine.fetch(engine.submit_encoded(enc1.encode(seq[0])))  # enc1 keyframe
+    enc2.encode(seq[0])          # enc2 seeds its own prev (not submitted)
+    foreign = enc2.encode(seq[1])
+    assert foreign[0] == "delta"
+    before = engine.delta_stats["desyncs"]
+    with pytest.raises(RuntimeError, match="desync"):
+        engine.submit_encoded(foreign)
+    assert engine.delta_stats["desyncs"] == before + 1
+    # recovery: the original encoder's raw keyframe re-seeds the chain
+    enc1.reset()
+    engine.fetch(engine.submit_encoded(enc1.encode(seq[1])))
+
+
+def test_engine_rejects_dropped_payload(engine):
+    """encode() advances the encoder state; if a payload is dropped before
+    submit, the next delta's sequence gap must raise rather than silently
+    reconstructing stale pixels forever (CLAUDE.md gotcha 8c trap a)."""
+    seq = _batches(3)
+    enc = DeltaEncoder(block_bytes=128)
+    engine.fetch(engine.submit_encoded(enc.encode(seq[0])))
+    dropped = enc.encode(seq[1])  # encoded but never submitted
+    assert dropped[0] == "delta"
+    stale = enc.encode(seq[2])
+    assert stale[0] == "delta"
+    with pytest.raises(RuntimeError, match="desync"):
+        engine.submit_encoded(stale)
+    enc.reset()
+    engine.fetch(engine.submit_encoded(enc.encode(seq[2])))
+
+
+def test_precompile_delta_rungs(engine):
+    """All four ladder rungs compile as byte-exact no-ops against the
+    resident batch (the serving warmup path, advisor r3)."""
+    import jax
+
+    seq = _batches(1)
+    enc = DeltaEncoder(block_bytes=128)
+    engine.fetch(engine.submit_encoded(enc.encode(seq[0])))
+    assert engine.precompile_delta_rungs(block=128) == 4
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(engine._delta_prev)), seq[0])
+
+
+def test_scan_loop_keyframes_after_failed_submit(tmp_path):
+    """Serving-edge fault injection (VERDICT r3 #6): a submit that dies
+    mid-flight (after the encoder already advanced its state) must make the
+    NEXT scan ship a raw keyframe — never a delta chained against frames the
+    device never saw."""
+    from frp_tpu.api.main import build_app
+    from frp_tpu.platform.context import AppContext
+
+    cfg = load_config(
+        data_dir=str(tmp_path / "data"), log_dir=str(tmp_path / "logs"),
+        det_size=DET, max_faces_per_frame=4, pre_nms_topk=64,
+    )
+    ctx = AppContext(cfg=cfg, camera_configs=[
+        {"id": 0, "name": "Cam 0", "geo": (18.5, 73.8),
+         "source": "synthetic:256x144"},
+    ])
+    try:
+        build_app(ctx)
+        eng = ctx.engine
+        if getattr(eng, "preferred_fmt", "rgb") != "yuv420":
+            pytest.skip("delta transfer needs the I420 path (cv2)")
+        ctx.run_scan(0.6, 1, 10)  # keyframe
+        d0 = eng.delta_stats["deltas"]
+        ctx.run_scan(0.6, 1, 10)  # localized motion -> delta
+        assert eng.delta_stats["deltas"] == d0 + 1
+
+        orig = eng.submit_encoded
+        eng.submit_encoded = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("injected mid-flight submit failure"))
+        with pytest.raises(RuntimeError, match="injected"):
+            ctx.run_scan(0.6, 1, 10)
+        eng.submit_encoded = orig
+
+        k0 = eng.delta_stats["keyframes"]
+        out = ctx.run_scan(0.6, 1, 10)  # must keyframe (encoder was reset)
+        assert eng.delta_stats["keyframes"] == k0 + 1
+        assert eng.delta_stats["desyncs"] == 0
+        assert out["scanned"] == 1
+        d1 = eng.delta_stats["deltas"]
+        ctx.run_scan(0.6, 1, 10)  # chain resumes with deltas
+        assert eng.delta_stats["deltas"] == d1 + 1
+    finally:
+        ctx.shutdown()
