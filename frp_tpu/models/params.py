@@ -239,6 +239,7 @@ def _parse_tensorproto(buf: bytes) -> tuple[str, np.ndarray]:
     name = ""
     raw = None
     typed: list[np.ndarray] = []
+    from_int32 = False  # fp16/bf16 non-raw data rides int32_data as bits
     for field, wire, val in _pb_fields(buf):
         if field == 1:
             if wire == 0:
@@ -266,6 +267,7 @@ def _parse_tensorproto(buf: bytes) -> tuple[str, np.ndarray]:
                 typed.append(np.asarray(vals, np.int32))
             else:
                 typed.append(np.asarray([val], np.int32))
+            from_int32 = True
         elif field == 7:
             if wire == 2:  # packed varints
                 vals, i = [], 0
@@ -280,7 +282,14 @@ def _parse_tensorproto(buf: bytes) -> tuple[str, np.ndarray]:
     if raw is not None:
         arr = np.frombuffer(raw, dtype=dtype)
     elif typed:
-        arr = np.concatenate(typed).astype(dtype)
+        arr = np.concatenate(typed)
+        if dtype == np.float16 and from_int32:
+            # the ONNX spec stores non-raw float16 values in int32_data as
+            # their uint16 bit patterns (onnx.proto3 TensorProto.int32_data
+            # comment) — a numeric astype would turn bits into garbage floats
+            arr = arr.astype(np.uint16).view(np.float16)
+        else:
+            arr = arr.astype(dtype)
     else:
         arr = np.zeros(0, dtype)
     return name, arr.reshape(dims) if dims else arr

@@ -30,47 +30,71 @@ FPN_CH = 64
 NUM_ANCHORS = 2
 
 
-def _dw_sep_init(rng, cin, cout):
+# Activated conv+bn block: the in-repo-trained weights use weightless
+# leaky-ReLU 0.1 (the standard 0.25-width choice); real InsightFace det
+# exports carry learned per-channel PReLU slopes instead, so every activated
+# block optionally holds an "act" {"alpha"} unit — structure selects the
+# activation, keeping the forward jit-static and letting the ONNX structural
+# importer (models/params.py) consume Conv->BN->PRelu unit runs in order.
+
+def _cba_init(rng, kh, kw, cin, cout, groups: int = 1, prelu: bool = False):
+    p = nn.conv_bn_init(rng, kh, kw, cin, cout, groups)
+    if prelu:
+        p["act"] = nn.prelu_init(cout)
+    return p
+
+
+def _cba(p, x, stride: int = 1, groups: int = 1):
+    y = nn.conv_bn(p, x, stride=stride, groups=groups)
+    return nn.prelu(p["act"], y) if "act" in p else nn.leaky_relu(y)
+
+
+def _dw_sep_init(rng, cin, cout, prelu=False):
     return {
-        "dw": nn.conv_bn_init(rng, 3, 3, cin, cin, groups=cin),
-        "pw": nn.conv_bn_init(rng, 1, 1, cin, cout),
+        "dw": _cba_init(rng, 3, 3, cin, cin, groups=cin, prelu=prelu),
+        "pw": _cba_init(rng, 1, 1, cin, cout, prelu=prelu),
     }
 
 
 def _dw_sep(p, x, stride):
-    y = nn.conv_bn(p["dw"], x, stride=stride, groups=x.shape[-1], act=nn.leaky_relu)
-    return nn.conv_bn(p["pw"], y, act=nn.leaky_relu)
+    y = _cba(p["dw"], x, stride=stride, groups=x.shape[-1])
+    return _cba(p["pw"], y)
 
 
-def _ssh_init(rng, cin, cout):
+def _ssh_init(rng, cin, cout, prelu=False):
     assert cout % 4 == 0
     half, quarter = cout // 2, cout // 4
     return {
         "conv3": nn.conv_bn_init(rng, 3, 3, cin, half),
-        "conv5_1": nn.conv_bn_init(rng, 3, 3, cin, quarter),
+        "conv5_1": _cba_init(rng, 3, 3, cin, quarter, prelu=prelu),
         "conv5_2": nn.conv_bn_init(rng, 3, 3, quarter, quarter),
-        "conv7_2": nn.conv_bn_init(rng, 3, 3, quarter, quarter),
+        "conv7_2": _cba_init(rng, 3, 3, quarter, quarter, prelu=prelu),
         "conv7_3": nn.conv_bn_init(rng, 3, 3, quarter, quarter),
     }
 
 
 def _ssh(p, x):
     c3 = nn.conv_bn(p["conv3"], x)
-    c5_1 = nn.conv_bn(p["conv5_1"], x, act=nn.leaky_relu)
+    c5_1 = _cba(p["conv5_1"], x)
     c5 = nn.conv_bn(p["conv5_2"], c5_1)
-    c7_2 = nn.conv_bn(p["conv7_2"], c5_1, act=nn.leaky_relu)
+    c7_2 = _cba(p["conv7_2"], c5_1)
     c7 = nn.conv_bn(p["conv7_3"], c7_2)
     return nn.relu(jnp.concatenate([c3, c5, c7], axis=-1))
 
 
-def init_retinaface(rng_or_seed=0) -> dict:
+def init_retinaface(rng_or_seed=0, act: str = "leaky") -> dict:
+    """act="leaky" (weightless, the in-repo-trained default) or "prelu"
+    (learned per-channel slopes on every activated block, the structure real
+    InsightFace det exports need to import onto)."""
+    assert act in ("leaky", "prelu"), act
+    prelu = act == "prelu"
     rng = nn.as_rng(rng_or_seed)
-    params = {"stem": nn.conv_bn_init(rng, 3, 3, 3, 8)}
+    params = {"stem": _cba_init(rng, 3, 3, 3, 8, prelu=prelu)}
 
     def stage(cin, plan):
         blocks = []
         for cout, _ in plan:
-            blocks.append(_dw_sep_init(rng, cin, cout))
+            blocks.append(_dw_sep_init(rng, cin, cout, prelu=prelu))
             cin = cout
         return blocks, cin
 
@@ -79,12 +103,12 @@ def init_retinaface(rng_or_seed=0) -> dict:
     params["stage3"], c3 = stage(c2, _STAGE3)
 
     params["fpn_lat"] = [
-        nn.conv_bn_init(rng, 1, 1, c, FPN_CH) for c in (c1, c2, c3)
+        _cba_init(rng, 1, 1, c, FPN_CH, prelu=prelu) for c in (c1, c2, c3)
     ]
     params["fpn_td"] = [
-        nn.conv_bn_init(rng, 3, 3, FPN_CH, FPN_CH) for _ in range(2)
+        _cba_init(rng, 3, 3, FPN_CH, FPN_CH, prelu=prelu) for _ in range(2)
     ]
-    params["ssh"] = [_ssh_init(rng, FPN_CH, FPN_CH) for _ in range(3)]
+    params["ssh"] = [_ssh_init(rng, FPN_CH, FPN_CH, prelu=prelu) for _ in range(3)]
     params["head_cls"] = [
         nn.conv_init(rng, 1, 1, FPN_CH, NUM_ANCHORS * 2) for _ in range(3)
     ]
@@ -110,7 +134,7 @@ def retinaface_forward(params: dict, x: jnp.ndarray) -> dict:
     """x: [B, S, S, 3] normalized frames. Returns raw head outputs:
     {"loc": [B, A, 4], "ldm": [B, A, 10], "score": [B, A]} in float32.
     """
-    y = nn.conv_bn(params["stem"], x, stride=2, act=nn.leaky_relu)
+    y = _cba(params["stem"], x, stride=2)
     feats = []
     for name, plan in (("stage1", _STAGE1), ("stage2", _STAGE2), ("stage3", _STAGE3)):
         for p, (_, stride) in zip(params[name], plan):
@@ -118,7 +142,7 @@ def retinaface_forward(params: dict, x: jnp.ndarray) -> dict:
         feats.append(y)
 
     # FPN top-down
-    lat = [nn.conv_bn(p, f, act=nn.leaky_relu) for p, f in zip(params["fpn_lat"], feats)]
+    lat = [_cba(p, f) for p, f in zip(params["fpn_lat"], feats)]
     p3 = lat[2]
     # fpn_td list order == execution order (p2's merge runs first): the ONNX
     # structural importer maps weights by execution order, and both merges
@@ -128,9 +152,9 @@ def retinaface_forward(params: dict, x: jnp.ndarray) -> dict:
     # check loudly instead of loading with the merges crossed;
     # tools/migrate_retinaface_npz.py converts old files.
     p2 = lat[1] + nn.upsample2x(p3, lat[1].shape[1:3])
-    p2 = nn.conv_bn(params["fpn_td"][0], p2, act=nn.leaky_relu)
+    p2 = _cba(params["fpn_td"][0], p2)
     p1 = lat[0] + nn.upsample2x(p2, lat[0].shape[1:3])
-    p1 = nn.conv_bn(params["fpn_td"][1], p1, act=nn.leaky_relu)
+    p1 = _cba(params["fpn_td"][1], p1)
     pyramid = [p1, p2, p3]
 
     feats = [_ssh(p, f) for p, f in zip(params["ssh"], pyramid)]

@@ -211,3 +211,33 @@ def test_snapshot_alias_route_resolves(app):
     router, _ = app
     handler, _ = router.resolve("GET", "/api/camera/0/snapshot")
     assert handler is not None
+
+
+# ---------------------------------------------------------------------------
+# 4. runtime execution: recorded impossibility (VERDICT r3 #8)
+# ---------------------------------------------------------------------------
+
+def test_js_runtime_execution_probe():
+    """Runtime execution of the rebuilt client is impossible in this image —
+    probed 2026-08-18: no JS engine importable (dukpy, quickjs, pythonmonkey,
+    js2py all absent), no browser binary on PATH (chromium/chrome/firefox),
+    and pip has zero egress (`pip install dukpy` -> "No matching distribution
+    found"). Static gates 1-3 above plus tools/es_check.py remain the
+    correctness story. If an engine ever appears in the image, this test
+    starts failing as a reminder to replace it with an execution smoke test
+    (mount App against a DOM stub, fire new_alert, assert state mutates)."""
+    import importlib.util
+    import shutil
+
+    engines = [
+        importlib.util.find_spec(m) is not None
+        for m in ("dukpy", "quickjs", "pythonmonkey", "js2py")
+    ]
+    browsers = [
+        shutil.which(b) is not None
+        for b in ("chromium", "chromium-browser", "google-chrome", "node", "deno", "qjs")
+    ]
+    assert not any(engines) and not any(browsers), (
+        "a JS runtime is now available — write the execution smoke test "
+        "(see docstring) instead of relying on this recorded impossibility"
+    )
