@@ -232,7 +232,9 @@ def main():
     # executables at production shapes; utils/flops.py)
     from frp_tpu.utils.flops import PEAK_FLOPS_BF16, engine_stage_flops, mfu
 
-    stage_fl = engine_stage_flops(eng, batch=8)
+    # occupancy: embed-stage valid-slot compaction makes executed flops a
+    # function of the live face count (flops.py scales by the selected rung)
+    stage_fl = engine_stage_flops(eng, batch=8, occupancy=faces_per_batch)
     flops_per_batch = stage_fl.get("total")
     # device pipeline time per batch: back-to-back dispatches on a resident
     # input with ONE final sync, so the relay's ~29 ms per-sync cost

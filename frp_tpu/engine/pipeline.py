@@ -206,6 +206,24 @@ def build_pipeline(
     return pipeline
 
 
+def embed_compact_rungs(n: int) -> list[int]:
+    """Compact-batch sizes (ascending, all < n) for embed-stage valid-slot
+    compaction; [] disables. Three rungs cover the serving regimes: sparse
+    surveillance (few faces -> n/8), mixed (n/2), and the face-dense bench
+    scene (~75% slots valid -> 13n/16). Override with FRP_EMBED_RUNGS
+    ("16,64,104" style) or disable with FRP_EMBED_COMPACT=0. Small batches
+    (enroll/compare uploads, n < 64) skip compaction — the win can't cover
+    the gather/scatter and program-size cost there."""
+    if _os.getenv("FRP_EMBED_COMPACT", "1") == "0" or n < 64:
+        return []
+    env = _os.getenv("FRP_EMBED_RUNGS")
+    if env:
+        rungs = sorted({int(x) for x in env.split(",") if x.strip()})
+    else:
+        rungs = sorted({max(8, n // 8), n // 2, (13 * n) // 16})
+    return [k for k in rungs if 0 < k < n]
+
+
 def build_stages(
     *,
     det_size: int = 640,
@@ -336,28 +354,77 @@ def build_stages(
             out["blur_score"] = q["blur_score"].reshape(b, m)
         return out
 
-    def embed_stage(params, crops, valid, scale=1.0):
-        b, m = crops.shape[0], crops.shape[1]
-        flat = crops.reshape(b * m, 112, 112, 3)
+    def _embed_core(params, flat):
+        """Embedder + spoof forward on a flat crop batch [K, 112, 112, 3].
+        Returns (embeddings [K, D] f32, fake_prob [K] f32 | None)."""
         emb_in = normalize_face(flat).astype(cdtype)
         emb = embedder_forward(params["embedder"], emb_in)
+        fake = None
+        if with_spoof:
+            scrops = flat
+            if spoof_size != 112:
+                scrops = jax.image.resize(
+                    flat, (flat.shape[0], spoof_size, spoof_size, 3),
+                    method="bilinear",
+                )
+            sin = normalize_imagenet(scrops).astype(cdtype)
+            logits = mobilenetv3_forward(params["spoof"], sin)
+            fake = jax.nn.softmax(logits, axis=-1)[:, 1]
+        return emb, fake
+
+    def embed_stage(params, crops, valid, scale=1.0):
+        b, m = crops.shape[0], crops.shape[1]
+        n = b * m
+        flat = crops.reshape(n, 112, 112, 3)
+        vflat = valid.reshape(-1)
+
+        rungs = embed_compact_rungs(n)
+        if rungs:
+            # Valid-slot compaction (VERDICT r3 #3): the multi-stream scan
+            # leaves ~25% of the B*M crop slots invalid (face count varies
+            # per frame), and embed+spoof is the dominant device stage
+            # (64.2 of 80.4 GF/batch) — so gather the valid crops into the
+            # smallest compact rung that holds them, run the nets on that,
+            # and scatter results back. The rung is picked ON DEVICE
+            # (lax.switch on the true count): the host never learns the
+            # count between stages — a host-side pick would need a blocking
+            # fetch (~29 ms in the relay's degraded mode) and kill
+            # pipelining. Each rung compiles its own net instance; keep the
+            # ladder short (program size, CLAUDE.md gotcha 6) and
+            # FRP_EMBED_COMPACT=0 disables outright.
+            order = jnp.argsort(jnp.logical_not(vflat), stable=True)
+            nv = jnp.sum(vflat.astype(jnp.int32))
+
+            def compact_branch(k):
+                def run(_):
+                    take = order[:k]
+                    emb_k, fake_k = _embed_core(params, flat[take])
+                    emb = jnp.zeros((n, emb_k.shape[-1]), emb_k.dtype)
+                    emb = emb.at[take].set(emb_k)
+                    fake = (jnp.zeros((n,), fake_k.dtype).at[take].set(fake_k)
+                            if fake_k is not None else None)
+                    return emb, fake
+                return run
+
+            def full_branch(_):
+                return _embed_core(params, flat)
+
+            idx = sum((nv > k).astype(jnp.int32) for k in rungs)
+            emb, fake = jax.lax.switch(
+                idx, [compact_branch(k) for k in rungs] + [full_branch], 0
+            )
+        else:
+            emb, fake = _embed_core(params, flat)
+
         # distance-scale calibration: scaling embeddings scales every
         # downstream euclidean distance (gallery match, dup check,
         # clustering) into the reference's 0.3/0.4/0.6 band geometry —
         # the constant is measured on a labeled pair set
         # (tools/calibrate_embedder.py, weights/calibration.json)
-        emb = jnp.where(valid.reshape(-1, 1), emb * scale, 0.0)
+        emb = jnp.where(vflat[:, None], emb * scale, 0.0)
         out = {"embeddings_flat": emb}
         if with_spoof:
-            scrops = flat
-            if spoof_size != 112:
-                scrops = jax.image.resize(
-                    flat, (b * m, spoof_size, spoof_size, 3), method="bilinear"
-                )
-            sin = normalize_imagenet(scrops).astype(cdtype)
-            logits = mobilenetv3_forward(params["spoof"], sin)
-            fake = jax.nn.softmax(logits, axis=-1)[:, 1].reshape(b, m)
-            out["fake_prob"] = jnp.where(valid, fake, 0.0)
+            out["fake_prob"] = jnp.where(valid, fake.reshape(b, m), 0.0)
         return out
 
     def match_stage(emb_flat, valid, gallery, gallery_valid, tol):

@@ -46,11 +46,20 @@ def dense_flops(cin, cout) -> float:
     return 2.0 * cin * cout
 
 
-def engine_stage_flops(engine, batch: int) -> dict:
+def engine_stage_flops(engine, batch: int, occupancy: int | None = None) -> dict:
     """FLOPs per dispatch of each device stage of a RecognitionEngine at the
     given frame-batch size, via XLA cost analysis on the stage executables'
-    production shapes. Returns {stage: flops|None, 'total': float|None}."""
+    production shapes. Returns {stage: flops|None, 'total': float|None}.
+
+    ``occupancy``: measured valid faces per batch. When the embed stage uses
+    valid-slot compaction (engine/pipeline.py embed_compact_rungs), XLA's
+    cost analysis sums ALL lax.switch branches — not what executes — so the
+    embed figure is instead taken from an uncompacted build scaled by
+    rung(occupancy)/n, the flops the selected branch actually runs."""
+    import jax
     import jax.numpy as jnp
+
+    from frp_tpu.engine.pipeline import embed_compact_rungs
 
     cfg = engine.cfg
     s = cfg.det_size
@@ -73,10 +82,23 @@ def engine_stage_flops(engine, batch: int) -> dict:
         gal, gal_valid, _names = engine.gallery.device_view()
         emb_params = {"embedder": params["embedder"], "spoof": params["spoof"]}
         crops = jnp.zeros((batch, m, 112, 112, 3), jnp.float32)
-        out["embed"] = compiled_flops(
-            engine._stages["embed"], emb_params, crops,
-            dets["valid"], engine.distance_scale,
+        n = batch * m
+        rungs = embed_compact_rungs(n)
+        embed_fn = engine._stages["embed"]
+        frac = 1.0
+        if rungs:
+            from frp_tpu.engine.pipeline import build_stages
+
+            plain = _plain_embed_stage(engine, build_stages)
+            if plain is not None:
+                embed_fn = plain
+                if occupancy is not None:
+                    k = next((r for r in rungs if occupancy <= r), n)
+                    frac = k / n
+        embed = compiled_flops(
+            embed_fn, emb_params, crops, dets["valid"], engine.distance_scale
         )
+        out["embed"] = embed * frac if embed else embed
         emb_flat = jnp.zeros((batch * m, cfg.embed_dim), jnp.float32)
         out["match"] = compiled_flops(
             engine._stages["match"], emb_flat, dets["valid"], gal, gal_valid,
@@ -87,6 +109,30 @@ def engine_stage_flops(engine, batch: int) -> dict:
     known = [v for v in out.values() if v]
     out["total"] = float(sum(known)) if known else None
     return out
+
+
+def _plain_embed_stage(engine, build_stages):
+    """An uncompacted embed stage matching the engine's config, for cost
+    analysis only (never dispatched)."""
+    import os
+
+    prev = os.environ.get("FRP_EMBED_COMPACT")
+    os.environ["FRP_EMBED_COMPACT"] = "0"
+    try:
+        return build_stages(
+            det_size=engine.cfg.det_size,
+            max_faces=engine.cfg.max_faces_per_frame,
+            with_spoof=engine.with_spoof,
+            compute_dtype=engine.cfg.compute_dtype,
+            embedder_forward=engine._embedder_forward,
+        )["embed"]
+    except Exception:
+        return None
+    finally:
+        if prev is None:
+            del os.environ["FRP_EMBED_COMPACT"]
+        else:
+            os.environ["FRP_EMBED_COMPACT"] = prev
 
 
 def mfu(flops_per_step: float, seconds_per_step: float,

@@ -467,3 +467,51 @@ def test_old_fpn_merge_checkpoint_rejected_loudly(tmp_path):
         np.asarray(migrated["fpn_td"][0]["conv"]["w"]),
         np.asarray(params["fpn_td"][0]["conv"]["w"]),
     )
+
+
+def test_embed_compaction_equivalence(monkeypatch):
+    """Valid-slot compaction (VERDICT r3 #3) is a pure execution-strategy
+    choice: at every occupancy — empty, sparse, exactly-on-a-rung, one-over,
+    full — the compacted embed stage must produce what the uncompacted one
+    does (embeddings, spoof scores, masking)."""
+    from frp_tpu.engine.pipeline import embed_compact_rungs
+    from frp_tpu.models.mobilefacenet import init_mobilefacenet
+    from frp_tpu.models.mobilenetv3 import init_mobilenetv3_small
+
+    assert embed_compact_rungs(32) == []          # small batches skip
+    assert embed_compact_rungs(128) == [16, 64, 104]
+    monkeypatch.setenv("FRP_EMBED_COMPACT", "0")
+    assert embed_compact_rungs(128) == []         # kill switch
+    monkeypatch.delenv("FRP_EMBED_COMPACT")
+
+    params = {
+        "embedder": init_mobilefacenet(1),
+        "spoof": init_mobilenetv3_small(2),
+    }
+    kw = dict(det_size=DET, max_faces=8, with_spoof=True,
+              compute_dtype="float32")
+    embed_c = build_stages(**kw)["embed"]
+    rng = np.random.default_rng(0)
+    b, m = 8, 8  # n = 64: rungs [8, 32, 52]
+    rungs = embed_compact_rungs(b * m)
+    assert rungs == [8, 32, 52]
+    crops = rng.uniform(0, 255, (b, m, 112, 112, 3)).astype(np.float32)
+
+    monkeypatch.setenv("FRP_EMBED_COMPACT", "0")
+    embed_plain = build_stages(**kw)["embed"]
+
+    for nv in (0, 5, 8, 33, 52, 53, 64):
+        valid = np.zeros(b * m, bool)
+        valid[rng.permutation(b * m)[:nv]] = True
+        valid = valid.reshape(b, m)
+        out_c = jax.device_get(embed_c(params, crops, valid, 1.3))
+        out_p = jax.device_get(embed_plain(params, crops, valid, 1.3))
+        np.testing.assert_allclose(
+            out_c["embeddings_flat"], out_p["embeddings_flat"],
+            rtol=1e-4, atol=1e-5, err_msg=f"nv={nv}")
+        np.testing.assert_allclose(
+            out_c["fake_prob"], out_p["fake_prob"],
+            rtol=1e-4, atol=1e-5, err_msg=f"nv={nv}")
+        inv = ~valid
+        assert np.all(out_c["embeddings_flat"].reshape(b, m, -1)[inv] == 0)
+        assert np.all(out_c["fake_prob"][inv] == 0)
