@@ -656,12 +656,29 @@ class RecognitionEngine:
                 "scale for these weights", emb_path,
             )
             return 1.0
-        path = os.path.join(os.path.dirname(emb_path), "calibration.json")
-        try:
-            with open(path) as f:
-                return float(json.load(f)["distance_scale"])
-        except (OSError, KeyError, ValueError, TypeError):
-            return 1.0
+        # arch-keyed calibration first (calibration_iresnet18.json for the
+        # iresnet18 embedder, written by calibrate_embedder.py --arch): the
+        # scale is a property of one embedder's distance distribution —
+        # applying mobilefacenet's constant to another family would distort
+        # every distance band
+        arch = getattr(self.cfg, "embedder_arch", "mobilefacenet")
+        wd = os.path.dirname(emb_path)
+        names = [f"calibration_{arch}.json"]
+        if arch == "mobilefacenet":
+            names.append("calibration.json")  # the shipped default's file
+        for name in names:
+            try:
+                with open(os.path.join(wd, name)) as f:
+                    return float(json.load(f)["distance_scale"])
+            except (OSError, KeyError, ValueError, TypeError):
+                continue
+        if arch != "mobilefacenet":
+            logger.warning(
+                "no calibration_%s.json beside %s: distances are on the raw "
+                "embedder scale (run tools/calibrate_embedder.py --arch %s)",
+                arch, emb_path, arch,
+            )
+        return 1.0
 
     def _load_weights(self, host_params: dict, arch: str) -> dict:
         """Load trained weights from cfg.weights_dir when present (the engine

@@ -38,15 +38,22 @@ def _block_init(rng, cin, cout, stride):
     return p
 
 
-def _block(p, x, stride):
-    y = nn.batch_norm(p["bn1"], x)
+def _block(p, x, stride, train=False, stats=None, path=None):
+    def bn(name, y):
+        if not train:
+            return nn.batch_norm(p[name], y)
+        out, new = nn.batch_norm(p[name], y, train=True)
+        stats[path + (name,)] = new
+        return out
+
+    y = bn("bn1", x)
     y = nn.conv(p["conv1"], y)
-    y = nn.batch_norm(p["bn2"], y)
+    y = bn("bn2", y)
     y = nn.prelu(p["prelu"], y)
     y = nn.conv(p["conv2"], y, stride=stride)
-    y = nn.batch_norm(p["bn3"], y)
+    y = bn("bn3", y)
     if "down_conv" in p:
-        x = nn.batch_norm(p["down_bn"], nn.conv(p["down_conv"], x, stride=stride))
+        x = bn("down_bn", nn.conv(p["down_conv"], x, stride=stride))
     return x + y
 
 
@@ -76,21 +83,40 @@ def init_iresnet(rng_or_seed=0, variant: str = "iresnet18", embed_dim: int = 128
     return params
 
 
-def iresnet_forward(params: dict, x: jnp.ndarray, normalize: bool = True) -> jnp.ndarray:
-    """x: [B, 112, 112, 3] normalized crops -> [B, D] float32 embeddings."""
+def iresnet_forward(
+    params: dict, x: jnp.ndarray, normalize: bool = True, train: bool = False
+):
+    """x: [B, 112, 112, 3] normalized crops -> [B, D] float32 embeddings.
+
+    With train=True returns (embeddings, bn_stats): bn_stats maps param-tree
+    paths whose LAST element names a bare BN unit (e.g. ("stages", 0, 1,
+    "bn2")) to updated running stats — the format train.arcface's
+    _apply_bn_updates consumes for either embedder family."""
+    stats: dict = {} if train else None
+
+    def bn(name, y):
+        if not train:
+            return nn.batch_norm(params[name], y)
+        out, new = nn.batch_norm(params[name], y, train=True)
+        stats[(name,)] = new
+        return out
+
     y = nn.conv(params["stem"], x)
-    y = nn.batch_norm(params["stem_bn"], y)
+    y = bn("stem_bn", y)
     y = nn.prelu(params["stem_prelu"], y)
-    for stage in params["stages"]:
+    for si, stage in enumerate(params["stages"]):
         for b, block in enumerate(stage):
-            y = _block(block, y, 2 if b == 0 else 1)
-    y = nn.batch_norm(params["head_bn"], y)
+            y = _block(
+                block, y, 2 if b == 0 else 1,
+                train=train, stats=stats, path=("stages", si, b),
+            )
+    y = bn("head_bn", y)
     # flatten in torch NCHW order (c, h, w): real iresnet checkpoints'
     # fc weights index inputs that way — an NHWC flatten would silently
     # permute every fc input for imported weights (shapes match either way)
     y = jnp.transpose(y, (0, 3, 1, 2)).reshape(y.shape[0], -1)
     emb = nn.dense(params["fc"], y).astype(jnp.float32)
-    emb = nn.batch_norm(params["feat_bn"], emb)  # 1-D feature BN
+    emb = bn("feat_bn", emb)  # 1-D feature BN
     if normalize:
         emb = nn.l2_normalize(emb)
-    return emb
+    return (emb, stats) if train else emb

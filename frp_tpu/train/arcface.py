@@ -70,18 +70,40 @@ def arcface_logits(
     return out
 
 
+def backbone_family(arch: str = "mobilefacenet"):
+    """(init_fn(seed, embed_dim), forward_fn(params, x, train=)) for an
+    embedder architecture name — "mobilefacenet" or an iresnet variant."""
+    if arch == "mobilefacenet":
+        return (
+            lambda seed, embed_dim: init_mobilefacenet(seed, embed_dim=embed_dim),
+            mobilefacenet_forward,
+        )
+    if arch.startswith("iresnet"):
+        from frp_tpu.models.iresnet import init_iresnet, iresnet_forward
+
+        return (
+            lambda seed, embed_dim: init_iresnet(
+                seed, variant=arch, embed_dim=embed_dim
+            ),
+            iresnet_forward,
+        )
+    raise ValueError(f"unknown embedder arch {arch!r}")
+
+
 def init_train_state(
     num_classes: int,
     embed_dim: int = 128,
     seed: int = 0,
     learning_rate: float = 0.1,
     weight_decay: float = 5e-4,
+    arch: str = "mobilefacenet",
 ):
     """Returns (state dict, optimizer). State leaves are host numpy (cheap to
     build); they land on device with the right shardings at the first step."""
     rng = np.random.default_rng(seed)
+    init_fn, _fwd = backbone_family(arch)
     params = {
-        "backbone": init_mobilefacenet(seed, embed_dim=embed_dim),
+        "backbone": init_fn(seed, embed_dim),
         "classifier": (
             rng.normal(0, 0.01, size=(embed_dim, num_classes)).astype(np.float32)
         ),
@@ -95,14 +117,27 @@ def init_train_state(
 
 
 def _apply_bn_updates(backbone: dict, stats: dict) -> dict:
-    """Write train-mode BN stats back into the param tree (pure update)."""
+    """Write train-mode BN stats back into the param tree (pure update).
+
+    Two path conventions, one per embedder family: mobilefacenet stats paths
+    index conv_bn composites (("blocks", 3, "dw") -> node has a "bn" child);
+    iresnet paths END at a bare BN unit name (("stages", 0, 1, "bn2") ->
+    node IS the bn dict)."""
     new = jax.tree_util.tree_map(lambda x: x, backbone)  # shallow-ish copy
     for path, update in stats.items():
-        # paths like ("blocks", 3, "dw") or ("stem",) index conv_bn dicts
         node = new
         for key in path:
             node = node[key]
-        node["bn"] = {**node["bn"], "mean": update["mean"], "var": update["var"]}
+        if "bn" in node:
+            node["bn"] = {**node["bn"], "mean": update["mean"], "var": update["var"]}
+        else:
+            assert "mean" in node, f"bn-stats path {path} lands on {list(node)}"
+            parent = new
+            for key in path[:-1]:
+                parent = parent[key]
+            parent[path[-1]] = {
+                **node, "mean": update["mean"], "var": update["var"],
+            }
     return new
 
 
@@ -113,10 +148,12 @@ def make_train_step(
     scale: float = 64.0,
     compute_dtype: str = "bfloat16",
     num_real_classes: int | None = None,
+    arch: str = "mobilefacenet",
 ):
     """Build the jitted train step. With a mesh, shards: batch over 'data',
     classifier over 'model'; everything else replicated (except the
     classifier's optimizer trace, which shards WITH the classifier)."""
+    _init, backbone_forward = backbone_family(arch)
 
     def loss_fn(params, images, labels):
         # uint8 batches normalize ON DEVICE: the host->device link is the
@@ -126,7 +163,7 @@ def make_train_step(
             # SAME convention as serving (ops.image.normalize_face):
             # (x - 127.5) / 128 — /127.5 skewed train vs inference inputs
             images = (images.astype(jnp.dtype(compute_dtype)) - 127.5) / 128.0
-        emb, bn_stats = mobilefacenet_forward(
+        emb, bn_stats = backbone_forward(
             params["backbone"], images.astype(jnp.dtype(compute_dtype)), train=True
         )
         logits = arcface_logits(
@@ -213,15 +250,19 @@ class ArcFaceTrainer:
         seed: int = 0,
         learning_rate: float = 0.1,
         compute_dtype: str = "bfloat16",
+        arch: str = "mobilefacenet",
     ):
         self.mesh = mesh
         self.num_classes = num_classes
+        self.arch = arch
         # the classifier's class axis must divide the mesh 'model' axis —
         # identity counts are arbitrary, so PAD the columns up and mask the
         # pad classes out of the loss (arcface_logits num_real_classes)
         n_model = int(mesh.shape[MODEL_AXIS]) if mesh is not None else 1
         padded = -(-num_classes // n_model) * n_model
-        state, self.tx = init_train_state(padded, embed_dim, seed, learning_rate)
+        state, self.tx = init_train_state(
+            padded, embed_dim, seed, learning_rate, arch=arch
+        )
         self._initial_backbone = jax.tree_util.tree_map(
             np.copy, state["params"]["backbone"]
         )
@@ -230,11 +271,13 @@ class ArcFaceTrainer:
             self._step = make_train_step(
                 self.tx, None, compute_dtype=compute_dtype,
                 num_real_classes=num_classes if padded != num_classes else None,
+                arch=arch,
             )
         else:
             maker = make_train_step(
                 self.tx, mesh, compute_dtype=compute_dtype,
                 num_real_classes=num_classes if padded != num_classes else None,
+                arch=arch,
             )
             self._step = maker(state)
             repl = NamedSharding(mesh, P())

@@ -50,8 +50,10 @@ def embed_crops(
     params=None,
     batch: int = 64,
     apply_calibration: bool = True,
+    arch: str = "mobilefacenet",
 ) -> np.ndarray:
-    """Embed rendered crops with the shipped (or given) MobileFaceNet params.
+    """Embed rendered crops with the shipped (or given) embedder params
+    (``arch`` selects the family: mobilefacenet or an iresnet variant).
 
     With ``apply_calibration`` (default) embeddings are multiplied by the
     engine's measured distance scale, putting distances in the reference's
@@ -59,18 +61,21 @@ def embed_crops(
     applies. Pass False to measure the raw scale (the calibration tool)."""
     import jax
 
-    from frp_tpu.models.mobilefacenet import mobilefacenet_forward
+    from frp_tpu.train.arcface import backbone_family
 
+    _init, forward = backbone_family(arch)
     scale = 1.0
     if params is None:
         from frp_tpu.config import load_config
         from frp_tpu.engine.pipeline import RecognitionEngine
 
-        eng = RecognitionEngine(load_config(det_size=128, max_faces_per_frame=4))
+        eng = RecognitionEngine(load_config(
+            det_size=128, max_faces_per_frame=4, embedder_arch=arch,
+        ))
         params = eng.params["embedder"]
         if apply_calibration:
             scale = eng.distance_scale
-    fwd = jax.jit(mobilefacenet_forward)
+    fwd = jax.jit(forward)
     outs = []
     for i in range(0, len(crops), batch):
         # normalize on HOST numpy (trivial math) and keep per-batch results

@@ -275,3 +275,34 @@ def test_sharded_training_at_100k_classes():
     m_single = single.train_step(images, labels)
     np.testing.assert_allclose(m_sharded["loss"], m_single["loss"],
                                rtol=2e-2)
+
+
+def test_iresnet_arch_training_path():
+    """The hard-tier capacity path (VERDICT r3 #4): ArcFace training must
+    work for the iresnet family — train-mode BN stats flow back into the
+    bare-BN-unit tree convention, loss is finite and decreases, and the
+    trained backbone serves through the inference forward."""
+    import jax
+
+    from frp_tpu.models.iresnet import iresnet_forward
+
+    trainer = ArcFaceTrainer(
+        num_classes=4, arch="iresnet18", learning_rate=0.05, seed=0,
+        compute_dtype="float32",
+    )
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (8, 112, 112, 3)).astype(np.float32)
+    y = rng.integers(0, 4, (8,)).astype(np.int32)
+    losses = [trainer.train_step(x, y)["loss"] for _ in range(5)]
+    assert np.isfinite(losses).all()
+    # the margin loss is noisy at step 2 (scale-64 logits, momentum SGD);
+    # a few steps on a FIXED batch must still trend down
+    assert min(losses[2:]) < losses[0]
+    p = trainer.embedder_params()
+    # both BN path conventions updated: bare units at top level and in blocks
+    assert np.abs(p["stem_bn"]["mean"]).sum() > 0
+    assert np.abs(p["stages"][0][0]["bn2"]["mean"]).sum() > 0
+    assert np.abs(p["feat_bn"]["mean"]).sum() > 0
+    emb = np.asarray(iresnet_forward(jax.device_put(p), x[:2]))
+    assert emb.shape == (2, 128) and np.isfinite(emb).all()
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, atol=1e-4)

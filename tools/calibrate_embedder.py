@@ -35,10 +35,19 @@ CALIB_SEED = 9000  # calibration identities; tests use a DISJOINT range
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--out", default="weights/calibration.json")
+    p.add_argument("--out", default=None,
+                   help="default: weights/calibration.json (mobilefacenet) "
+                        "or weights/calibration_{arch}.json")
     p.add_argument("--identities", type=int, default=24)
     p.add_argument("--variants", type=int, default=6)
+    p.add_argument("--arch", default="mobilefacenet",
+                   help="embedder family to calibrate (engine loads the "
+                        "arch-keyed calibration file for it)")
     args = p.parse_args()
+    if args.out is None:
+        args.out = ("weights/calibration.json"
+                    if args.arch == "mobilefacenet"
+                    else f"weights/calibration_{args.arch}.json")
 
     from frp_tpu.config import load_config
     from frp_tpu.engine.pipeline import RecognitionEngine
@@ -56,7 +65,9 @@ def main():
     # warp -> embed, exactly the serving path. Crop-level numbers are also
     # reported but the shipped scale comes from the end-to-end populations
     # (crop-level calibration measured ~2x optimistic: alignment noise).
-    eng = RecognitionEngine(load_config(det_size=640, max_faces_per_frame=16))
+    eng = RecognitionEngine(load_config(
+        det_size=640, max_faces_per_frame=16, embedder_arch=args.arch,
+    ))
     # calibrate on the widened "mix" domain (synthetic.TIER_MIX) — the scale
     # must center EER for the traffic the platform actually serves, easy and
     # hard tiers together (tools/tiered_eval.py then reports per-tier ROC)
@@ -79,7 +90,7 @@ def main():
     crops, clabels = build_pair_crops(
         args.identities, 4, CALIB_SEED, difficulty="mix"
     )
-    emb_crop = embed_crops(crops, apply_calibration=False)
+    emb_crop = embed_crops(crops, apply_calibration=False, arch=args.arch)
     csame, cdiff = pair_distances(emb_crop, clabels)
 
     import jax
@@ -88,6 +99,7 @@ def main():
 
     payload = {
         "distance_scale": round(scale, 6),
+        "arch": args.arch,
         # provenance: numbers depend on backend numerics + decimation kernel
         "backend": jax.default_backend(),
         "resize_interp": _resize_interp(),

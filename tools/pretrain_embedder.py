@@ -1,7 +1,9 @@
-"""Bootstrap-pretrain the MobileFaceNet embedder with ArcFace on synthetic
-identities; saves weights/mobilefacenet.npz (auto-loaded by the engine).
+"""Bootstrap-pretrain an embedder with ArcFace on synthetic identities;
+saves weights/{arch}.npz (auto-loaded by the engine for that
+cfg.embedder_arch).
 
 Usage: python tools/pretrain_embedder.py [--steps 300] [--identities 64]
+       python tools/pretrain_embedder.py --arch iresnet18 --steps 600
 """
 
 from __future__ import annotations
@@ -22,8 +24,16 @@ def main():
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--identities", type=int, default=64)
     p.add_argument("--lr", type=float, default=0.05)
-    p.add_argument("--out", default="weights/mobilefacenet.npz")
+    p.add_argument("--arch", default="mobilefacenet",
+                   help="mobilefacenet | iresnet18/34/50/100 (the hard-tier "
+                        "capacity path, VERDICT r3 #4)")
+    p.add_argument("--out", default=None,
+                   help="default: weights/{arch}.npz")
+    p.add_argument("--resume", default=None,
+                   help="warm-start backbone from this .npz before training")
     args = p.parse_args()
+    if args.out is None:
+        args.out = f"weights/{args.arch}.npz"
 
     from frp_tpu.models.params import save_params
     from frp_tpu.ops.image import normalize_face
@@ -32,8 +42,19 @@ def main():
 
     identities = [make_identity(s) for s in range(args.identities)]
     trainer = ArcFaceTrainer(
-        num_classes=args.identities, seed=0, learning_rate=args.lr
+        num_classes=args.identities, seed=0, learning_rate=args.lr,
+        arch=args.arch,
     )
+    if args.resume:
+        import jax as _jax
+
+        from frp_tpu.models.params import load_params
+
+        warm = load_params(args.resume)
+        host = _jax.device_get(trainer.state["params"])
+        host["backbone"] = warm
+        trainer.state["params"] = _jax.device_put(host)
+        print(f"resumed backbone from {args.resume}")
     from frp_tpu.train.pairs import jitter_crop
 
     rng = np.random.default_rng(0)
@@ -65,10 +86,11 @@ def main():
 
     # quick separation report: same-identity vs cross-identity distances
     import jax, jax.numpy as jnp
-    from frp_tpu.models.mobilefacenet import mobilefacenet_forward
+    from frp_tpu.train.arcface import backbone_family
 
+    _init, forward = backbone_family(args.arch)
     params = jax.device_put(trainer.embedder_params())
-    fwd = jax.jit(mobilefacenet_forward)
+    fwd = jax.jit(forward)
     embs = []
     for ident in identities[:16]:
         crops = np.stack([make_identity_crop(ident, rng) for _ in range(4)])

@@ -32,10 +32,17 @@ SEED = 9300  # disjoint from training (0..63), calibration (9000..), parity (950
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--out", default="weights/tiered_eval.json")
+    p.add_argument("--out", default=None,
+                   help="default: weights/tiered_eval.json (mobilefacenet) "
+                        "or weights/tiered_eval_{arch}.json")
     p.add_argument("--identities", type=int, default=20)
     p.add_argument("--variants", type=int, default=4)
+    p.add_argument("--arch", default="mobilefacenet")
     args = p.parse_args()
+    if args.out is None:
+        args.out = ("weights/tiered_eval.json"
+                    if args.arch == "mobilefacenet"
+                    else f"weights/tiered_eval_{args.arch}.json")
 
     from frp_tpu.config import load_config
     from frp_tpu.engine.pipeline import RecognitionEngine
@@ -49,14 +56,16 @@ def main():
         threshold_metrics,
     )
 
-    eng = RecognitionEngine(load_config(det_size=640, max_faces_per_frame=16))
+    eng = RecognitionEngine(load_config(
+        det_size=640, max_faces_per_frame=16, embedder_arch=args.arch,
+    ))
     rng = np.random.default_rng(SEED)
     import jax
 
     from frp_tpu.engine.batching import _resize_interp
 
     out: dict = {"seed": SEED, "identities": args.identities,
-                 "variants": args.variants,
+                 "variants": args.variants, "arch": args.arch,
                  # provenance: the numbers depend on the backend's numerics
                  # and the serving decimation kernel in effect
                  "backend": jax.default_backend(),
@@ -80,7 +89,7 @@ def main():
             args.identities, args.variants, SEED, difficulty=tier
         )
         crops = np.stack([jitter_crop(c, rng) for c in crops])
-        csame, cdiff = pair_distances(embed_crops(crops), clabels)
+        csame, cdiff = pair_distances(embed_crops(crops, arch=args.arch), clabels)
         tier_out["crop"] = threshold_metrics(csame, cdiff)
         out["tiers"][str(tier)] = tier_out
         print(f"tier {tier}: recall={recall:.3f} "
