@@ -467,6 +467,12 @@ def test_debug_routes(app):
         pass
     status, data, _ = call(router, "GET", "/debug/timers")
     assert data["stages"]["unit"]["calls"] == 1
+    # delta-transfer health counters (VERDICT r3 #6: a production operator
+    # must be able to see encoder/engine desync)
+    status, data, _ = call(router, "GET", "/debug/delta")
+    assert status == 200
+    for key in ("keyframes", "deltas", "desyncs"):
+        assert key in data, data
 
 
 def test_dashboard_served(app):

@@ -595,10 +595,13 @@ def test_engine_end_to_end_iresnet50_onnx(tmp_path):
     assert engine.weights_loaded["embedder"].endswith("embedder.onnx")
     assert engine.weights_loaded["detector"].endswith(".npz")
 
-    img, _, _, _ = make_scene(128, np.random.default_rng(5), max_faces=1)
+    # portrait=True keeps the face inside the shipped detector's trained
+    # pixel range on this small grid — detection is then reliable across
+    # seeds (probed 0..13: portrait 14/14, plain 8/14), so no skip needed
+    img, _, _, _ = make_scene(128, np.random.default_rng(5), max_faces=1,
+                              portrait=True)
     out1 = engine.process_frames(img[None])
-    if not out1["valid"].any():
-        pytest.skip("detector found no faces in the synthetic scene")
+    assert out1["valid"].any(), "shipped detector missed the portrait scene"
     i, j = np.argwhere(out1["valid"])[0]
     emb = out1["embeddings"][i, j]
     assert emb.shape == (512,)
