@@ -85,6 +85,12 @@ DELTA_BLOCK = int(os.getenv("FRP_DELTA_BLOCK",
 WINDOWS = 3        # windows per attempt (best window reported per attempt)
 
 
+def _rungs_detail():
+    from frp_tpu.engine.pipeline import embed_compact_rungs
+
+    return embed_compact_rungs(8 * 16)  # B x max_faces at the bench config
+
+
 def main():
     # internal wall-clock budget: the attempt must emit a valid JSON line
     # BEFORE the driver's external per-attempt timeout kills it. Checked
@@ -397,6 +403,9 @@ def main():
                     },
                     "device_ms_per_batch": round(device_s * 1000, 2),
                     "device_duty_cycle": round(device_s / per_batch, 4),
+                    # embed-stage valid-slot compaction provenance (the
+                    # device-compute lever, VERDICT r3 #3)
+                    "embed_compact_rungs": _rungs_detail(),
                     "mfu_device": round(mfu(flops_per_batch, device_s), 5),
                     "mfu_serving": round(mfu(flops_per_batch, per_batch), 5),
                     "peak_flops_assumed": PEAK_FLOPS_BF16,

@@ -31,6 +31,9 @@ def main():
                    help="default: weights/{arch}.npz")
     p.add_argument("--resume", default=None,
                    help="warm-start backbone from this .npz before training")
+    p.add_argument("--save-every", type=int, default=0,
+                   help="also save --out every N steps (long CPU runs: a "
+                        "killed process keeps its progress)")
     args = p.parse_args()
     if args.out is None:
         args.out = f"weights/{args.arch}.npz"
@@ -81,6 +84,9 @@ def main():
                 f"({(time.time() - t0) / (step + 1):.2f}s/step)",
                 flush=True,
             )
+        if args.save_every and step and step % args.save_every == 0:
+            save_params(args.out, trainer.embedder_params())
+            print(f"checkpointed {args.out} at step {step}", flush=True)
     save_params(args.out, trainer.embedder_params())
     print(f"saved {args.out}")
 
