@@ -469,14 +469,24 @@ def test_old_fpn_merge_checkpoint_rejected_loudly(tmp_path):
     )
 
 
+def _tiny_embedder(p, x, train=False, normalize=True):
+    """Drop-in embedder_forward whose value depends on the crop CONTENT and
+    position-sensitively on nothing else — compiles in seconds, so the
+    compaction ladder's 4-instance switch program doesn't cost the suite
+    minutes of real-net compiles."""
+    pooled = x.reshape(x.shape[0], -1, 3).mean(axis=1)  # [K, 3]
+    emb = jnp.tanh(pooled @ p["w"] + p["b"])
+    return (emb, {}) if train else emb
+
+
 def test_embed_compaction_equivalence(monkeypatch):
     """Valid-slot compaction (VERDICT r3 #3) is a pure execution-strategy
     choice: at every occupancy — empty, sparse, exactly-on-a-rung, one-over,
     full — the compacted embed stage must produce what the uncompacted one
-    does (embeddings, spoof scores, masking)."""
+    does (embeddings, masking). Uses a tiny embedder so the ladder's
+    4-branch switch compiles fast; real-net integration is pinned by
+    test_embed_compaction_real_net_integration."""
     from frp_tpu.engine.pipeline import embed_compact_rungs
-    from frp_tpu.models.mobilefacenet import init_mobilefacenet
-    from frp_tpu.models.mobilenetv3 import init_mobilenetv3_small
 
     assert embed_compact_rungs(32) == []          # small batches skip
     assert embed_compact_rungs(128) == [16, 64, 104]
@@ -484,14 +494,16 @@ def test_embed_compaction_equivalence(monkeypatch):
     assert embed_compact_rungs(128) == []         # kill switch
     monkeypatch.delenv("FRP_EMBED_COMPACT")
 
-    params = {
-        "embedder": init_mobilefacenet(1),
-        "spoof": init_mobilenetv3_small(2),
-    }
-    kw = dict(det_size=DET, max_faces=8, with_spoof=True,
-              compute_dtype="float32")
-    embed_c = build_stages(**kw)["embed"]
     rng = np.random.default_rng(0)
+    params = {
+        "embedder": {
+            "w": rng.normal(size=(3, 16)).astype(np.float32),
+            "b": rng.normal(size=(16,)).astype(np.float32),
+        },
+    }
+    kw = dict(det_size=DET, max_faces=8, with_spoof=False,
+              compute_dtype="float32", embedder_forward=_tiny_embedder)
+    embed_c = build_stages(**kw)["embed"]
     b, m = 8, 8  # n = 64: rungs [8, 32, 52]
     rungs = embed_compact_rungs(b * m)
     assert rungs == [8, 32, 52]
@@ -499,6 +511,7 @@ def test_embed_compaction_equivalence(monkeypatch):
 
     monkeypatch.setenv("FRP_EMBED_COMPACT", "0")
     embed_plain = build_stages(**kw)["embed"]
+    monkeypatch.delenv("FRP_EMBED_COMPACT")
 
     for nv in (0, 5, 8, 33, 52, 53, 64):
         valid = np.zeros(b * m, bool)
@@ -509,9 +522,36 @@ def test_embed_compaction_equivalence(monkeypatch):
         np.testing.assert_allclose(
             out_c["embeddings_flat"], out_p["embeddings_flat"],
             rtol=1e-4, atol=1e-5, err_msg=f"nv={nv}")
-        np.testing.assert_allclose(
-            out_c["fake_prob"], out_p["fake_prob"],
-            rtol=1e-4, atol=1e-5, err_msg=f"nv={nv}")
         inv = ~valid
         assert np.all(out_c["embeddings_flat"].reshape(b, m, -1)[inv] == 0)
-        assert np.all(out_c["fake_prob"][inv] == 0)
+
+
+def test_embed_compaction_real_net_integration(monkeypatch):
+    """One real-net case (MobileFaceNet + spoof, single compact rung via
+    FRP_EMBED_RUNGS) proving the production embed stage takes the compact
+    path and matches the plain build, spoof scatter included."""
+    from frp_tpu.models.mobilefacenet import init_mobilefacenet
+    from frp_tpu.models.mobilenetv3 import init_mobilenetv3_small
+
+    params = {
+        "embedder": init_mobilefacenet(1),
+        "spoof": init_mobilenetv3_small(2),
+    }
+    kw = dict(det_size=DET, max_faces=8, with_spoof=True,
+              compute_dtype="float32")
+    rng = np.random.default_rng(0)
+    b, m = 8, 8
+    crops = rng.uniform(0, 255, (b, m, 112, 112, 3)).astype(np.float32)
+    valid = np.zeros(b * m, bool)
+    valid[rng.permutation(b * m)[:40]] = True  # < rung 48 -> compact branch
+    valid = valid.reshape(b, m)
+
+    monkeypatch.setenv("FRP_EMBED_RUNGS", "48")
+    out_c = jax.device_get(build_stages(**kw)["embed"](params, crops, valid, 1.3))
+    monkeypatch.setenv("FRP_EMBED_COMPACT", "0")
+    out_p = jax.device_get(build_stages(**kw)["embed"](params, crops, valid, 1.3))
+    np.testing.assert_allclose(
+        out_c["embeddings_flat"], out_p["embeddings_flat"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        out_c["fake_prob"], out_p["fake_prob"], rtol=1e-4, atol=1e-5)
+    assert np.all(out_c["fake_prob"][~valid] == 0)
