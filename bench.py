@@ -155,9 +155,13 @@ def main():
 
     def advance_motion():
         """Blit each camera's walking face at its next position (restore the
-        background under the previous position from the pristine base)."""
+        background under the previous position from the pristine base).
+        Returns per-camera dirty row bands — the change hints a real video
+        decoder surfaces (H.264/HEVC macroblock rows) and the synthetic
+        motion model knows exactly."""
         t = tick[0]
         tick[0] += 1
+        bands = []
         for cam, (base, sprite, y0, x0) in zip(cams, sprites):
             sp = sprite.shape[0]
             dx = (t % 8) * 24
@@ -167,23 +171,33 @@ def main():
                     y0 : y0 + sp, x0 + prev_dx : x0 + prev_dx + sp
                 ]
             cam[y0 : y0 + sp, x0 + dx : x0 + dx + sp] = sprite
+            bands.append([(y0, y0 + sp)])
         # faces count stays 12 per frame: 11 static + the walker
+        return bands
 
     rows = active_rows_for([f.shape[:2] for f in cams], det) or det  # 368 @ det 640, 16:9
 
-    def host_prep():
-        """Letterbox 8x1080p -> the 640x368 ACTIVE area and pack I420 (the
-        device pads the dead letterbox rows back to 640x640 — bit-identical
-        detector input, 42.5% fewer bytes over the bottleneck link; RGB
-        fallback without cv2). Serial loop: cv2 parallelizes resize
-        internally; an outer thread pool measured slower (contention with
-        the device dispatch threads)."""
+    # change-hint letterboxing (round 4): per-camera LetterboxCache bound to
+    # slots of ONE persistent batch buffer. The producer re-letterboxes only
+    # each tick's dirty row band — full letterbox+I420 of 8x1080p costs
+    # ~27 ms/batch on the one-core host (the measured pipeline bottleneck)
+    # vs ~4.4 ms banded; bit-exact (tests/test_batching_hints.py).
+    from frp_tpu.engine.batching import LetterboxCache
+
+    if cv2 is not None:
+        cur = np.empty((8, rows * 3 // 2, det), np.uint8)
+        caches = [LetterboxCache(det, rows, buf=cur[i]) for i in range(8)]
+
+    def host_prep(dirty=None):
+        """dirty: per-camera [(y0, y1)] source row bands from advance_motion
+        (decoder change hints), or None for a full rebuild. RGB fallback
+        without cv2. Serial loop: cv2 parallelizes resize internally; an
+        outer thread pool measured slower (contention with the device
+        dispatch threads)."""
         if cv2 is not None:
-            out = np.empty((8, rows * 3 // 2, det), np.uint8)
             for i, frame in enumerate(cams):
-                boxed, _, _ = letterbox(frame, det, rows=rows)
-                out[i] = cv2.cvtColor(boxed, cv2.COLOR_BGR2YUV_I420)
-            return out, "yuv420"
+                caches[i].update(frame, None if dirty is None else dirty[i])
+            return cur, "yuv420"
         out = np.stack([letterbox(f, det)[0] for f in cams])
         return out, "rgb"
 
@@ -218,19 +232,28 @@ def main():
             eng.fetch(eng.submit_encoded(("delta", idx, blocks)))
             log(f"delta rung 1/{denom} compiled")
     # faces/batch with the walking subject present (11 static + walker)
-    advance_motion()
-    batch_m, fmt_m = host_prep()
+    bands_m = advance_motion()
+    batch_m, fmt_m = host_prep(bands_m)
     out_m = eng.fetch(eng.submit(batch_m, fmt=fmt_m))
     faces_per_batch = int(out_m["count"].sum())
 
     def encode_next():
-        """Producer-side: advance scene motion, letterbox+pack, delta-encode.
-        Returns (payload_kind, payload, shipped_bytes, raw_bytes)."""
-        advance_motion()
-        b, f = host_prep()
+        """Producer-side: advance scene motion, banded letterbox update,
+        delta-encode. Returns (payload_kind, payload, shipped, raw_bytes).
+
+        The persistent `cur` buffer is mutated every tick while up to DEPTH
+        items sit in the queue, so any payload that REFERENCES it (raw
+        keyframes, the no-delta frames path) is copied; delta payloads'
+        idx/blocks are fresh arrays already."""
+        bands = advance_motion()
+        b, f = host_prep(bands)
         if not use_delta:
-            return ("frames", (b, f), b.nbytes, b.nbytes)
+            return ("frames", (b.copy(), f), b.nbytes, b.nbytes)
         e = enc.encode(b)
+        if e[0] == "raw":
+            from frp_tpu.engine.batching import DeltaPayload
+
+            e = DeltaPayload(("raw", e[1].copy()), e.enc_id, e.seq)
         shipped = e[1].nbytes if e[0] == "raw" else e[1].nbytes + e[2].nbytes
         return ("enc", e, shipped, b.nbytes)
 
@@ -357,8 +380,8 @@ def main():
     alert_enc = DeltaEncoder(block_bytes=DELTA_BLOCK) if use_delta else None
     for k in range(15):
         t0 = time.perf_counter()
-        advance_motion()
-        b, f = host_prep()
+        bands = advance_motion()
+        b, f = host_prep(bands)
         if alert_enc is not None:
             res = eng.fetch(eng.submit_encoded(alert_enc.encode(b)))
         else:

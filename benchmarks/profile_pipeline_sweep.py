@@ -59,6 +59,7 @@ def main():
     def advance():
         t = tick[0]
         tick[0] += 1
+        bands = []
         for cam, (base, sprite, y0, x0) in zip(cams, sprites):
             sp = sprite.shape[0]
             dx = (t % 8) * 24
@@ -67,15 +68,21 @@ def main():
                 cam[y0:y0 + sp, x0 + pdx:x0 + pdx + sp] = base[
                     y0:y0 + sp, x0 + pdx:x0 + pdx + sp]
             cam[y0:y0 + sp, x0 + dx:x0 + dx + sp] = sprite
+            bands.append([(y0, y0 + sp)])
+        return bands
 
     rows = active_rows_for([f.shape[:2] for f in cams], 640) or 640
 
-    def prep():
-        out = np.empty((8, rows * 3 // 2, 640), np.uint8)
+    # change-hint letterboxing, same as bench.py's producer (round 4)
+    from frp_tpu.engine.batching import LetterboxCache
+
+    cur = np.empty((8, rows * 3 // 2, 640), np.uint8)
+    caches = [LetterboxCache(640, rows, buf=cur[i]) for i in range(8)]
+
+    def prep(dirty=None):
         for i, frame in enumerate(cams):
-            boxed, _, _ = letterbox(frame, 640, rows=rows)
-            out[i] = cv2.cvtColor(boxed, cv2.COLOR_BGR2YUV_I420)
-        return out
+            caches[i].update(frame, None if dirty is None else dirty[i])
+        return cur
 
     blk = int(os.environ.get("SWEEP_BLOCK", "128"))
     enc = DeltaEncoder(block_bytes=blk)
@@ -102,8 +109,15 @@ def main():
 
         def producer():
             while not stop.is_set():
-                advance()
-                item = enc.encode(prep())
+                item = enc.encode(prep(advance()))
+                if item[0] == "raw":
+                    # cur is mutated every tick while items queue: payloads
+                    # that reference it must be copied (delta idx/blocks
+                    # are fresh arrays already)
+                    from frp_tpu.engine.batching import DeltaPayload
+
+                    item = DeltaPayload(("raw", item[1].copy()),
+                                        item.enc_id, item.seq)
                 while not stop.is_set():
                     try:
                         q.put(item, timeout=0.5)

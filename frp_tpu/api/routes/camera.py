@@ -20,6 +20,7 @@ from frp_tpu.engine.batching import (
     active_rows_for,
     build_batch,
     build_batch_i420,
+    build_batch_i420_cached,
     unmap_results,
 )
 from frp_tpu.utils.logger import get_logger
@@ -92,6 +93,11 @@ def register(router, ctx):
     # the same scatter row count (benchmarks/profile_block_size.py)
     scan_delta = DeltaEncoder(block_bytes=int(
         os.getenv("FRP_DELTA_BLOCK", "128")))
+    # change-hint letterbox caches (round 4): full letterbox+I420 of the
+    # camera set is the dominant one-core host cost per scan; sources that
+    # surface change hints (FrameSource.read_hints) re-letterbox only the
+    # dirty bands. Guarded by scan_mutex.
+    scan_prep: dict = {}
 
     def _get_camera(request: Request):
         try:
@@ -125,14 +131,22 @@ def register(router, ctx):
         t0 = time.perf_counter()
         cams = ctx.cameras.all()
         frames: dict[int, np.ndarray | None] = {}
+        hints: dict[int, list | None] = {}
         for cam in cams:
             frame = None
+            bands: list | None = []
             for _ in range(max(1, frame_skip)):  # read+discard (camera.py:202-209)
                 ok, frame = cam.read()
                 if not ok:
                     frame = None
                     break
+                # change hints accumulate across the skip reads: the cache
+                # was last updated at the PREVIOUS scan, so every read's
+                # bands since then must be covered (None anywhere -> full)
+                h = cam.read_hints() if hasattr(cam, "read_hints") else None
+                bands = None if (h is None or bands is None) else bands + list(h)
             frames[cam.id] = frame
+            hints[cam.id] = bands
         if not frames:
             return {"alerts": [], "detections": [], "scanned": 0, "processing_time": 0.0}
 
@@ -144,8 +158,9 @@ def register(router, ctx):
                 [f.shape[:2] for f in frames.values() if f is not None],
                 ctx.cfg.det_size,
             ) if any(f is not None for f in frames.values()) else None
-            batch, meta = build_batch_i420(
-                frames, ctx.cfg.det_size, active_rows=rows
+            batch, meta = build_batch_i420_cached(
+                frames, ctx.cfg.det_size, state=scan_prep, hints=hints,
+                active_rows=rows,
             )
         else:
             batch, meta = build_batch(frames, ctx.cfg.det_size)

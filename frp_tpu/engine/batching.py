@@ -278,6 +278,199 @@ def unmap_results(out: dict, meta: BatchMeta) -> list[dict]:
 
 
 # ---------------------------------------------------------------------------
+# change-hint letterboxing (round-4: attack the one-core host prep)
+# ---------------------------------------------------------------------------
+
+class LetterboxCache:
+    """Persistent per-camera letterboxed I420 frame updated from source
+    dirty ROW BANDS (decoder change hints).
+
+    Motivation: full letterbox+I420 of 8x1080p costs ~28 ms/batch on the
+    one-core serving host — the pipeline bottleneck — while a surveillance
+    tick typically changes a small region per camera. Video decoders know
+    which rows changed (H.264/HEVC macroblock info; our synthetic sources
+    know their sprite rects), so the host can redo only the affected
+    det-space bands: resize the source slab, convert that band, scatter it
+    into the persistent I420 planes.
+
+    Exactness: banded updates are BIT-IDENTICAL to the full path when the
+    decimation stride k = 1/scale is an integer and the frame fills the
+    full letterbox width (1080p->det640: k=3, 720p->det640: k=2 — the
+    serving geometries); bilinear/area sampling for dest row j then reads
+    only source rows [k*j, k*(j+1)), so a slab starting at source row k*j0
+    reproduces the global grid. Any other geometry, a source-shape change,
+    or dirty=None falls back to the full letterbox transparently.
+
+    Hazard (same class as the delta-transfer trap, CLAUDE.md 8c): hints
+    that UNDER-report changes leave stale pixels in the cache forever —
+    sources must over-report or pass None. update(dirty=None) is always a
+    full rebuild; update(dirty=[]) means "nothing changed".
+    """
+
+    def __init__(self, size: int, rows: int | None = None,
+                 buf: np.ndarray | None = None):
+        self.size = int(size)
+        self.rows = int(rows) if rows else int(size)
+        if buf is not None:
+            assert buf.shape == (self.rows * 3 // 2, self.size), buf.shape
+            assert buf.dtype == np.uint8 and buf.flags.c_contiguous
+        # external buf (e.g. a batch slot) makes updates zero-copy: the
+        # cache writes bands straight into the submit buffer
+        self._buf = buf
+        self._i420: np.ndarray | None = None  # [rows*3/2, size] uint8
+        self._src_shape: tuple | None = None
+        self._geo: tuple | None = None  # (scale, ox, oy, nh, k)
+
+    @property
+    def frame(self) -> np.ndarray | None:
+        """The cache's own I420 buffer (do NOT mutate)."""
+        return self._i420
+
+    @property
+    def geometry(self) -> tuple | None:
+        """(scale, ox, oy) of the letterbox, as letterbox() returns."""
+        if self._geo is None:
+            return None
+        s, ox, oy, _nh, _k = self._geo
+        return s, (ox, oy)
+
+    def _full(self, frame) -> np.ndarray:
+        boxed, s, (ox, oy) = letterbox(frame, self.size, rows=self.rows)
+        if cv2 is None:  # banded path needs cv2 anyway; full fallback only
+            raise RuntimeError("LetterboxCache requires cv2")
+        conv = cv2.cvtColor(boxed, cv2.COLOR_BGR2YUV_I420)
+        if self._buf is not None:
+            np.copyto(self._buf, conv)
+            self._i420 = self._buf
+        else:
+            self._i420 = conv
+        self._src_shape = frame.shape
+        h, w = frame.shape[:2]
+        nh = max(1, int(round(h * s)))
+        k = 1.0 / s
+        exact = (
+            abs(k - round(k)) < 1e-9
+            and max(1, int(round(w * s))) == self.size  # full width, ox == 0
+            and ox == 0
+            and oy % 2 == 0
+            and nh % 2 == 0            # chroma pairs never cross a band edge
+            and h == nh * int(round(k))  # slabs never run short at the tail
+        )
+        self._geo = (s, ox, oy, nh, int(round(k)) if exact else None)
+        return self._i420
+
+    def update(self, frame: np.ndarray, dirty=None) -> np.ndarray:
+        """frame: HxWx3 uint8 BGR; dirty: None = assume everything changed
+        (full rebuild), or iterable of (y0, y1) SOURCE row bands that cover
+        every changed pixel since the previous update. Returns the
+        persistent [rows*3/2, size] I420 frame."""
+        if (
+            dirty is None
+            or self._i420 is None
+            or frame.shape != self._src_shape
+            or self._geo is None
+            or self._geo[4] is None
+        ):
+            return self._full(frame)
+        s, _ox, oy, nh, k = self._geo
+        size, rows = self.size, self.rows
+        out = self._i420
+        flat = out.reshape(-1)
+        u_base = rows * size
+        v_base = u_base + (rows // 2) * (size // 2)
+        h = frame.shape[0]
+        interp = (cv2.INTER_AREA if _resize_interp() == "area"
+                  else cv2.INTER_LINEAR) if s < 1.0 else cv2.INTER_LINEAR
+        for band in dirty:
+            y0, y1 = int(band[0]), int(band[1])
+            if y1 <= y0:
+                continue
+            # dest rows the source band influences (one-row slop is cheap);
+            # snapped to even for the 2x2 chroma average
+            j0 = max(0, (y0 // k - 1)) & ~1
+            j1 = min(nh, -(-(y1 + k) // k) + 1)
+            j1 = min(nh, (j1 + 1) & ~1)
+            if j1 <= j0:
+                continue
+            slab = frame[j0 * k : min(h, j1 * k)]
+            band_bgr = cv2.resize(slab, (size, j1 - j0), interpolation=interp)
+            conv = cv2.cvtColor(band_bgr, cv2.COLOR_BGR2YUV_I420).reshape(-1)
+            bh = j1 - j0
+            # Y
+            out[oy + j0 : oy + j1] = conv[: bh * size].reshape(bh, size)
+            # U and V planes: contiguous flat runs in both buffers
+            uq = (size // 2)
+            cu0, cu1 = bh * size, bh * size + (bh // 2) * uq
+            du0 = u_base + ((oy + j0) // 2) * uq
+            flat[du0 : du0 + (bh // 2) * uq] = conv[cu0:cu1]
+            dv0 = v_base + ((oy + j0) // 2) * uq
+            flat[dv0 : dv0 + (bh // 2) * uq] = conv[cu1 : cu1 + (bh // 2) * uq]
+        return out
+
+
+def build_batch_i420_cached(
+    frames: dict, size: int, state: dict, hints: dict | None = None,
+    slots: int | None = None, active_rows: int | None = None,
+) -> tuple[np.ndarray, BatchMeta]:
+    """build_batch_i420 with per-camera LetterboxCaches persisted in
+    ``state`` (an empty dict on first call, owned by the caller — the scan
+    loop keeps one per router): cameras whose sources provide change hints
+    ({cam_id: [(y0, y1), ...]}) re-letterbox only those source bands into
+    their persistent batch slot. Any change to the camera set, slot layout,
+    or active-rows rung rebuilds the state transparently (that scan runs
+    the full path). Returns the PERSISTENT batch buffer — callers must
+    finish reading it (encode/device_put) before the next call."""
+    cam_ids = list(frames.keys())
+    b = slots or max(1, len(cam_ids))
+    rows = size if active_rows is None else active_rows
+    assert rows % 16 == 0 and rows <= size, rows
+    if cv2 is None:
+        return build_batch_i420(frames, size, slots=slots,
+                                active_rows=active_rows)
+    key = (tuple(cam_ids), b, rows, size)
+    if state.get("key") != key:
+        batch = np.zeros((b, rows * 3 // 2, size), np.uint8)
+        batch[:, :rows, :] = 16
+        batch[:, rows:, :] = 128
+        state.clear()
+        state.update(
+            key=key, batch=batch,
+            caches={c: LetterboxCache(size, rows, buf=batch[i])
+                    for i, c in enumerate(cam_ids[:b])},
+            live=set(),
+        )
+    batch = state["batch"]
+    oy_pad = (size - rows) // 2
+    meta = BatchMeta(
+        cam_ids=cam_ids + [None] * (b - len(cam_ids)),
+        scales=np.ones((b,), np.float32),
+        offsets=np.zeros((b, 2), np.float32),
+        frame_ok=np.zeros((b,), bool),
+        orig_hw=[None] * b,
+    )
+    for i, cam in enumerate(cam_ids[:b]):
+        frame = frames[cam]
+        if frame is None or getattr(frame, "size", 0) == 0:
+            if cam in state["live"]:
+                # blank the stale slot; the cache content no longer matches
+                # its buffer, so force a rebuild on the camera's return
+                batch[i, :rows, :] = 16
+                batch[i, rows:, :] = 128
+                state["caches"][cam] = LetterboxCache(size, rows, buf=batch[i])
+                state["live"].discard(cam)
+            continue
+        dirty = None if hints is None else hints.get(cam)
+        state["caches"][cam].update(frame, dirty)
+        s, (ox, oy) = state["caches"][cam].geometry
+        meta.scales[i] = s
+        meta.offsets[i] = (ox, oy + oy_pad)
+        meta.frame_ok[i] = True
+        meta.orig_hw[i] = frame.shape[:2]
+        state["live"].add(cam)
+    return batch, meta
+
+
+# ---------------------------------------------------------------------------
 # temporal delta transfer (round-3: attack the ~57 MB/s relay wire)
 # ---------------------------------------------------------------------------
 

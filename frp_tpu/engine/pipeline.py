@@ -980,8 +980,15 @@ class RecognitionEngine:
             else None
         )
         if enc[0] == "raw":
+            # COPY, not ascontiguousarray: the result is retained as
+            # _delta_prev, and jax.device_put on the CPU backend ALIASES
+            # numpy memory — callers with persistent batch buffers
+            # (batching.build_batch_i420_cached, the bench producer) mutate
+            # them after submit, which would silently corrupt the resident
+            # keyframe every delta reconstructs against. Keyframes are rare;
+            # the copy is ~2.8 MB.
             frames_dev = self._put_frames(
-                np.ascontiguousarray(enc[1], dtype=np.uint8)
+                np.array(enc[1], dtype=np.uint8, copy=True)
             )
             self.delta_stats["keyframes"] += 1
         else:

@@ -48,6 +48,16 @@ class FrameSource:
     def read(self):
         raise NotImplementedError
 
+    def read_hints(self):
+        """Change hints for the LAST read() frame: a list of (y0, y1) source
+        row bands covering every pixel that changed since the PREVIOUS
+        read, or None when unknown (callers then do a full re-letterbox —
+        engine/batching.LetterboxCache). Real decoders know this from the
+        bitstream (H.264/HEVC macroblock rows); synthetic sources know
+        their own motion. MUST over-report rather than under-report: missed
+        changes persist as stale pixels in the letterbox cache."""
+        return None
+
     def release(self):
         pass
 
@@ -73,6 +83,8 @@ class SyntheticSource(FrameSource):
         self._seed = seed
         self._rng = np.random.default_rng(seed)
         self._base = self._rng.integers(0, 110, size=(height, width, 3), dtype=np.uint8)
+        self._prev_band: tuple | None = None
+        self._hints: list | None = None
 
     def read(self):
         self._tick += 1
@@ -93,7 +105,16 @@ class SyntheticSource(FrameSource):
             s = int(size)
             rgb[int(cy) - s // 2 : int(cy) + s // 2,
                 int(cx) - s // 2 : int(cx) + s // 2] = 220
+        # change hints: the face moved — only its previous and current row
+        # bands differ between consecutive reads (over-reported by a full
+        # face-size margin; render extent is <= 0.55*size vertically)
+        band = (max(0, int(cy - size)), min(self.h, int(cy + size) + 1))
+        self._hints = [b for b in (self._prev_band, band) if b is not None]
+        self._prev_band = band
         return True, np.ascontiguousarray(rgb[..., ::-1])
+
+    def read_hints(self):
+        return self._hints
 
 
 class PushSource(FrameSource):

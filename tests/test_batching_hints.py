@@ -1,0 +1,180 @@
+"""Change-hint letterboxing (round 4): LetterboxCache banded updates must be
+BIT-IDENTICAL to the full letterbox+I420 path — host prep is the measured
+one-core serving bottleneck (~27 ms/batch full vs ~4.4 ms banded at the
+bench's motion pattern), and any divergence would silently corrupt detector
+input. Reference host path: backend/app/routes/camera.py:284-341 (the
+reference re-encodes every frame fully, every scan)."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from frp_tpu.engine.batching import DeltaEncoder, LetterboxCache, letterbox
+
+
+def full_ref(frame, size, rows):
+    boxed, _, _ = letterbox(frame, size, rows=rows)
+    return cv2.cvtColor(boxed, cv2.COLOR_BGR2YUV_I420)
+
+
+@pytest.mark.parametrize("hw", [(1080, 1920), (720, 1280)])
+@pytest.mark.parametrize("interp", ["linear", "area"])
+def test_banded_update_bit_exact(hw, interp, monkeypatch):
+    """Both serving geometries (k=3 and k=2), both decimation kernels."""
+    monkeypatch.setenv("FRP_RESIZE_INTERP", interp)
+    h, w = hw
+    rng = np.random.default_rng(0)
+    size, rows = 640, 368
+    cache = LetterboxCache(size, rows)
+    f = np.ascontiguousarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+    np.testing.assert_array_equal(cache.update(f), full_ref(f, size, rows))
+    for trial in range(4):
+        f2 = f.copy()
+        bands = []
+        for _ in range(int(rng.integers(1, 4))):
+            y0 = int(rng.integers(0, h - 60))
+            y1 = int(min(h, y0 + rng.integers(1, 300)))
+            f2[y0:y1] = rng.integers(0, 255, (y1 - y0, w, 3), dtype=np.uint8)
+            bands.append((y0, y1))
+        out = cache.update(f2, dirty=bands)
+        np.testing.assert_array_equal(
+            out, full_ref(f2, size, rows), err_msg=f"{hw} trial {trial}")
+        f = f2
+    # dirty=[] with an unchanged frame: cache already current
+    np.testing.assert_array_equal(cache.update(f, dirty=[]),
+                                  full_ref(f, size, rows))
+
+
+def test_band_edges_and_full_frame_band():
+    """Boundary bands: first rows, last rows, odd offsets, whole frame."""
+    rng = np.random.default_rng(1)
+    h, w, size, rows = 1080, 1920, 640, 368
+    cache = LetterboxCache(size, rows)
+    f = np.ascontiguousarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+    cache.update(f)
+    for y0, y1 in [(0, 7), (h - 5, h), (1, 2), (0, h)]:
+        f = f.copy()
+        f[y0:y1] ^= 0x5A
+        np.testing.assert_array_equal(
+            cache.update(f, dirty=[(y0, y1)]), full_ref(f, size, rows),
+            err_msg=f"band ({y0}, {y1})")
+
+
+def test_non_integer_geometry_falls_back_exact():
+    """900x1600 (k = 2.8125) cannot use banded updates; the cache must
+    transparently run the full path and stay exact."""
+    rng = np.random.default_rng(2)
+    cache = LetterboxCache(640, 368)
+    f = np.ascontiguousarray(rng.integers(0, 255, (900, 1600, 3), dtype=np.uint8))
+    np.testing.assert_array_equal(cache.update(f), full_ref(f, 640, 368))
+    f2 = f.copy()
+    f2[100:200] = 0
+    np.testing.assert_array_equal(cache.update(f2, dirty=[(100, 200)]),
+                                  full_ref(f2, 640, 368))
+
+
+def test_source_shape_change_rebuilds():
+    rng = np.random.default_rng(3)
+    cache = LetterboxCache(640, 368)
+    f = np.ascontiguousarray(rng.integers(0, 255, (1080, 1920, 3), dtype=np.uint8))
+    cache.update(f)
+    g = np.ascontiguousarray(rng.integers(0, 255, (720, 1280, 3), dtype=np.uint8))
+    # hints refer to the OLD geometry; a shape change must force a rebuild
+    np.testing.assert_array_equal(cache.update(g, dirty=[(0, 10)]),
+                                  full_ref(g, 640, 368))
+
+
+def test_external_buffer_binding():
+    """buf= writes land in the caller's batch slot — zero copies on the
+    producer path (bench.py host_prep)."""
+    rng = np.random.default_rng(4)
+    size, rows = 640, 368
+    batch = np.zeros((2, rows * 3 // 2, size), np.uint8)
+    caches = [LetterboxCache(size, rows, buf=batch[i]) for i in range(2)]
+    frames = [np.ascontiguousarray(rng.integers(0, 255, (1080, 1920, 3),
+                                                dtype=np.uint8))
+              for _ in range(2)]
+    for i in range(2):
+        out = caches[i].update(frames[i])
+        assert out.base is batch or out is batch[i]  # the slot itself
+        np.testing.assert_array_equal(batch[i], full_ref(frames[i], size, rows))
+    f2 = frames[0].copy()
+    f2[400:680] ^= 7
+    caches[0].update(f2, dirty=[(400, 680)])
+    np.testing.assert_array_equal(batch[0], full_ref(f2, size, rows))
+    np.testing.assert_array_equal(batch[1], full_ref(frames[1], size, rows))
+
+
+def test_hints_chain_with_delta_encoder():
+    """The serving composition: banded letterbox feeds the delta encoder;
+    reconstructed host-side output equals the full-path frames at every
+    tick (the same walking-sprite motion model as bench.py)."""
+    rng = np.random.default_rng(5)
+    size, rows = 640, 368
+    h, w = 1080, 1920
+    base = np.ascontiguousarray(rng.integers(20, 110, (h, w, 3), dtype=np.uint8))
+    sprite = np.ascontiguousarray(rng.integers(0, 255, (280, 280, 3), dtype=np.uint8))
+    y0, x0 = 400, 580
+    cam = base.copy()
+
+    cache = LetterboxCache(size, rows)
+    enc = DeltaEncoder(block_bytes=128)
+    prev_flat = None
+    for t in range(6):
+        dx = (t % 8) * 24
+        if t > 0:
+            pdx = ((t - 1) % 8) * 24
+            cam[y0:y0 + 280, x0 + pdx:x0 + pdx + 280] = base[
+                y0:y0 + 280, x0 + pdx:x0 + pdx + 280]
+        cam[y0:y0 + 280, x0 + dx:x0 + dx + 280] = sprite
+        i420 = cache.update(cam, dirty=None if t == 0 else [(y0, y0 + 280)])
+        np.testing.assert_array_equal(i420, full_ref(cam, size, rows))
+        e = enc.encode(i420[None])
+        if e[0] == "raw":
+            prev_flat = e[1].reshape(1, -1).copy()
+        else:
+            _, idx, blocks = e
+            prev_flat = DeltaEncoder.apply_host(prev_flat, idx, blocks)
+        np.testing.assert_array_equal(
+            prev_flat.reshape(i420[None].shape), i420[None],
+            err_msg=f"tick {t}")
+
+
+def test_build_batch_i420_cached_matches_uncached():
+    """The scan loop's cached builder must equal build_batch_i420 exactly
+    across: cold start, hinted updates, a camera dropping out (slot blanks),
+    its return (cache rebuild), and a camera-set change (state reset)."""
+    from frp_tpu.engine.batching import (
+        BatchMeta,
+        build_batch_i420,
+        build_batch_i420_cached,
+    )
+
+    rng = np.random.default_rng(6)
+    size = 640
+    mk = lambda h, w: np.ascontiguousarray(
+        rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+    f0, f1 = mk(1080, 1920), mk(720, 1280)
+    state: dict = {}
+
+    def check(frames, hints=None, rows=368):
+        got, gm = build_batch_i420_cached(
+            frames, size, state=state, hints=hints, active_rows=rows)
+        want, wm = build_batch_i420(frames, size, active_rows=rows)
+        np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(gm.scales, wm.scales)
+        np.testing.assert_array_equal(gm.offsets, wm.offsets)
+        np.testing.assert_array_equal(gm.frame_ok, wm.frame_ok)
+        assert gm.cam_ids == wm.cam_ids
+
+    check({0: f0, 1: f1})                      # cold: full path both
+    f0b = f0.copy(); f0b[300:500] ^= 0x21
+    check({0: f0b, 1: f1}, hints={0: [(300, 500)], 1: []})
+    check({0: f0b, 1: None}, hints={0: [], 1: None})   # cam 1 drops
+    check({0: f0b, 1: f1}, hints={0: [], 1: [(0, 10)]})  # returns: rebuild
+    f2 = mk(1080, 1920)
+    check({0: f0b, 1: f1, 2: f2})              # camera-set change: reset
+    f2b = f2.copy(); f2b[0:64] ^= 5
+    check({0: f0b, 1: f1, 2: f2b},
+          hints={0: [], 1: [], 2: [(0, 64)]})
