@@ -249,7 +249,9 @@ def main():
         b, f = host_prep(bands)
         if not use_delta:
             return ("frames", (b.copy(), f), b.nbytes, b.nbytes)
-        e = enc.encode(b)
+        # hinted encode: diff only the letterbox caches' dirty block ranges
+        # (full-frame memcmp + 5.9 MB _prev copy leave the producer)
+        e = enc.encode(b, hints=[c.dirty_blocks(DELTA_BLOCK) for c in caches])
         if e[0] == "raw":
             from frp_tpu.engine.batching import DeltaPayload
 
@@ -383,7 +385,8 @@ def main():
         bands = advance_motion()
         b, f = host_prep(bands)
         if alert_enc is not None:
-            res = eng.fetch(eng.submit_encoded(alert_enc.encode(b)))
+            res = eng.fetch(eng.submit_encoded(alert_enc.encode(
+                b, hints=[c.dirty_blocks(DELTA_BLOCK) for c in caches])))
         else:
             res = eng.fetch(eng.submit(b, fmt=f))
         i, j = 0, 0

@@ -109,7 +109,9 @@ def main():
 
         def producer():
             while not stop.is_set():
-                item = enc.encode(prep(advance()))
+                item = enc.encode(
+                    prep(advance()),
+                    hints=[c.dirty_blocks(blk) for c in caches])
                 if item[0] == "raw":
                     # cur is mutated every tick while items queue: payloads
                     # that reference it must be copied (delta idx/blocks

@@ -21,6 +21,7 @@ from frp_tpu.engine.batching import (
     build_batch,
     build_batch_i420,
     build_batch_i420_cached,
+    delta_hints_for,
     unmap_results,
 )
 from frp_tpu.utils.logger import get_logger
@@ -173,7 +174,11 @@ def register(router, ctx):
             try:
                 out = ctx.engine.fetch(
                     ctx.engine.submit_encoded(
-                        scan_delta.encode(batch), tolerance=threshold,
+                        scan_delta.encode(
+                            batch,
+                            hints=delta_hints_for(scan_prep, scan_delta.block),
+                        ),
+                        tolerance=threshold,
                         packed=False,
                     )
                 )

@@ -320,6 +320,10 @@ class LetterboxCache:
         self._i420: np.ndarray | None = None  # [rows*3/2, size] uint8
         self._src_shape: tuple | None = None
         self._geo: tuple | None = None  # (scale, ox, oy, nh, k)
+        # bands applied by the LAST update when it took the banded path;
+        # None after a full rebuild (downstream delta hints must then diff
+        # everything — see dirty_blocks)
+        self.last_bands: list | None = None
 
     @property
     def frame(self) -> np.ndarray | None:
@@ -344,6 +348,7 @@ class LetterboxCache:
             self._i420 = self._buf
         else:
             self._i420 = conv
+        self.last_bands = None
         self._src_shape = frame.shape
         h, w = frame.shape[:2]
         nh = max(1, int(round(h * s)))
@@ -385,11 +390,7 @@ class LetterboxCache:
             y0, y1 = int(band[0]), int(band[1])
             if y1 <= y0:
                 continue
-            # dest rows the source band influences (one-row slop is cheap);
-            # snapped to even for the 2x2 chroma average
-            j0 = max(0, (y0 // k - 1)) & ~1
-            j1 = min(nh, -(-(y1 + k) // k) + 1)
-            j1 = min(nh, (j1 + 1) & ~1)
+            j0, j1 = self._dest_band(y0, y1, nh, k)
             if j1 <= j0:
                 continue
             slab = frame[j0 * k : min(h, j1 * k)]
@@ -405,6 +406,47 @@ class LetterboxCache:
             flat[du0 : du0 + (bh // 2) * uq] = conv[cu0:cu1]
             dv0 = v_base + ((oy + j0) // 2) * uq
             flat[dv0 : dv0 + (bh // 2) * uq] = conv[cu1 : cu1 + (bh // 2) * uq]
+        self.last_bands = [tuple(band) for band in dirty]
+        return out
+
+    @staticmethod
+    def _dest_band(y0: int, y1: int, nh: int, k: int) -> tuple[int, int]:
+        """Dest rows a source row band [y0, y1) influences — one-row slop on
+        each side (cheap), snapped to even for the 2x2 chroma average."""
+        j0 = max(0, (y0 // k - 1)) & ~1
+        j1 = min(nh, -(-(y1 + k) // k) + 1)
+        j1 = min(nh, (j1 + 1) & ~1)
+        return j0, j1
+
+    def dirty_blocks(self, block_bytes: int, bands: list | None = None):
+        """Half-open (b0, b1) BLOCK ranges in the flattened I420 frame that
+        cover the given source row bands (default: the LAST update's bands)
+        — the delta-encoder hint for this frame. Returns None when the last
+        update was a full rebuild or banded geometry is unavailable (the
+        encoder must then diff every block)."""
+        bands = self.last_bands if bands is None else bands
+        if bands is None or self._geo is None or self._geo[4] is None:
+            return None
+        s, _ox, oy, nh, k = self._geo
+        size, rows = self.size, self.rows
+        u_base = rows * size
+        v_base = u_base + (rows // 2) * (size // 2)
+        out = []
+        for y0, y1 in bands:
+            j0, j1 = self._dest_band(int(y0), int(y1), nh, k)
+            if j1 <= j0:
+                continue
+            uq = size // 2
+            spans = (
+                ((oy + j0) * size, (oy + j1) * size),
+                (u_base + ((oy + j0) // 2) * uq,
+                 u_base + ((oy + j1) // 2) * uq),
+                (v_base + ((oy + j0) // 2) * uq,
+                 v_base + ((oy + j1) // 2) * uq),
+            )
+            out.extend(
+                (a // block_bytes, -(-z // block_bytes)) for a, z in spans
+            )
         return out
 
 
@@ -440,6 +482,14 @@ def build_batch_i420_cached(
             live=set(),
         )
     batch = state["batch"]
+    # per-slot delta-hint status for this scan: None = content changed
+    # unpredictably (full diff), [] = slot untouched, cam_id = banded
+    # update (resolve via delta_hints_for). A state reset rewrote every
+    # slot -> the default [] below only survives for slots not touched
+    # this scan AFTER at least one build, which is exactly when it's true.
+    slot_status: list = ([None] * b if "slot_status" not in state
+                         else [[] for _ in range(b)])
+    state["slot_status"] = slot_status
     oy_pad = (size - rows) // 2
     meta = BatchMeta(
         cam_ids=cam_ids + [None] * (b - len(cam_ids)),
@@ -458,9 +508,12 @@ def build_batch_i420_cached(
                 batch[i, rows:, :] = 128
                 state["caches"][cam] = LetterboxCache(size, rows, buf=batch[i])
                 state["live"].discard(cam)
+                slot_status[i] = None  # slot content changed (blanked)
             continue
         dirty = None if hints is None else hints.get(cam)
         state["caches"][cam].update(frame, dirty)
+        slot_status[i] = (cam if state["caches"][cam].last_bands is not None
+                          else None)
         s, (ox, oy) = state["caches"][cam].geometry
         meta.scales[i] = s
         meta.offsets[i] = (ox, oy + oy_pad)
@@ -468,6 +521,24 @@ def build_batch_i420_cached(
         meta.orig_hw[i] = frame.shape[:2]
         state["live"].add(cam)
     return batch, meta
+
+
+def delta_hints_for(state: dict, block_bytes: int) -> list | None:
+    """Per-slot block hints for DeltaEncoder.encode(batch, hints=...) on the
+    batch build_batch_i420_cached just produced from ``state``: [] for
+    untouched slots, block ranges for banded updates, None for slots whose
+    content changed unpredictably (full rebuild / blanking / reset)."""
+    statuses = state.get("slot_status")
+    if statuses is None:
+        return None
+    caches = state.get("caches", {})
+    out = []
+    for status in statuses:
+        if status is None or isinstance(status, list):
+            out.append(status)
+        else:  # cam id -> banded update; resolve to block ranges
+            out.append(caches[status].dirty_blocks(block_bytes))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -527,10 +598,19 @@ class DeltaEncoder:
         self._seq += 1
         return DeltaPayload(data, self._enc_id, self._seq)
 
-    def encode(self, batch: np.ndarray):
+    def encode(self, batch: np.ndarray, hints: list | None = None):
         """batch: [B, rows*3/2, size] uint8 -> ("raw", batch) or
         ("delta", idx [B, cap] int32 (-1 padded), blocks [B, cap, K] uint8).
-        Updates internal previous-frame state either way."""
+        Updates internal previous-frame state either way.
+
+        ``hints``: optional per-frame block hints (len B): entry i is None
+        (unknown — diff every block of frame i) or a list of half-open
+        (b0, b1) BLOCK ranges covering every possibly-changed block
+        (LetterboxCache.dirty_blocks). TRUSTED, same contract as
+        FrameSource.read_hints: an under-reporting hint ships stale blocks
+        forever. With hints the encoder diffs (and copies into its
+        previous-frame state) only the hinted ranges — the full-frame
+        memcmp + 5.9 MB _prev copy disappear from the producer."""
         b = batch.shape[0]
         if b == 0:
             # degrade gracefully on an empty camera set (reshape(0, -1) is
@@ -551,6 +631,8 @@ class DeltaEncoder:
             self._prev = flat.copy()
             return self._out(("raw", batch))
         flat = np.ascontiguousarray(flat)
+        if hints is not None:
+            return self._encode_hinted(batch, flat, nblocks, hints)
         from frp_tpu.utils.native import delta_blocks as native_delta
 
         max_changed = native_delta(flat, self._prev, self.block, 0)
@@ -580,6 +662,45 @@ class DeltaEncoder:
                 idx[i, : len(ci)] = ci
                 blocks[i, : len(ci)] = fb[i, ci]
         self._prev = flat.copy()
+        return self._out(("delta", idx, blocks))
+
+    def _encode_hinted(self, batch, flat, nblocks: int, hints: list):
+        b = flat.shape[0]
+        fb = flat.reshape(b, nblocks, self.block)
+        pb = self._prev.reshape(b, nblocks, self.block)
+        per_frame: list[np.ndarray] = []
+        max_changed = 0
+        for i in range(b):
+            hint = hints[i] if i < len(hints) else None
+            if hint is None:
+                ci = np.flatnonzero((fb[i] != pb[i]).any(axis=1))
+            else:
+                parts = []
+                for r0, r1 in hint:
+                    r0 = max(0, int(r0))
+                    r1 = min(nblocks, int(r1))
+                    if r1 <= r0:
+                        continue
+                    d = (fb[i, r0:r1] != pb[i, r0:r1]).any(axis=1)
+                    parts.append(np.flatnonzero(d) + r0)
+                ci = (np.unique(np.concatenate(parts)) if parts
+                      else np.empty(0, np.int64))
+            per_frame.append(ci)
+            max_changed = max(max_changed, len(ci))
+        cap = None
+        for denom in self.LADDER:
+            if max_changed <= nblocks // denom:
+                cap = nblocks // denom
+                break
+        if cap is None or cap == 0:
+            self._prev = flat.copy()
+            return self._out(("raw", batch))
+        idx = np.full((b, cap), -1, np.int32)
+        blocks = np.zeros((b, cap, self.block), np.uint8)
+        for i, ci in enumerate(per_frame):
+            idx[i, : len(ci)] = ci
+            blocks[i, : len(ci)] = fb[i, ci]
+            pb[i, ci] = fb[i, ci]  # update _prev only where shipped
         return self._out(("delta", idx, blocks))
 
     @staticmethod

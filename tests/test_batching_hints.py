@@ -178,3 +178,83 @@ def test_build_batch_i420_cached_matches_uncached():
     f2b = f2.copy(); f2b[0:64] ^= 5
     check({0: f0b, 1: f1, 2: f2b},
           hints={0: [], 1: [], 2: [(0, 64)]})
+
+
+def test_hinted_encode_equals_unhinted():
+    """encode(batch, hints=...) with honest (over-reported) hints must ship
+    byte-identical payloads to the unhinted full diff, and keep the
+    internal previous-frame state equivalent across ticks."""
+    rng = np.random.default_rng(7)
+    shape = (3, 96 * 3 // 2, 128)  # nbytes % 128 == 0
+    nblocks = int(np.prod(shape[1:])) // 128
+    enc_h = DeltaEncoder(block_bytes=128)
+    enc_f = DeltaEncoder(block_bytes=128)
+    batch = rng.integers(0, 255, shape, dtype=np.uint8)
+    assert enc_h.encode(batch.copy(), hints=[None] * 3)[0] == "raw"
+    assert enc_f.encode(batch.copy())[0] == "raw"
+    for t in range(5):
+        batch = batch.copy()
+        hints = []
+        for i in range(3):
+            if t % 2 == 0 and i == 1:
+                hints.append([])  # frame untouched
+                continue
+            b0 = int(rng.integers(0, nblocks - 8))
+            b1 = b0 + int(rng.integers(1, 8))
+            flat = batch[i].reshape(-1)
+            flat[b0 * 128 : b1 * 128] ^= 0x33
+            # over-report by a couple of blocks each side
+            hints.append([(max(0, b0 - 2), min(nblocks, b1 + 2))])
+        out_h = enc_h.encode(batch, hints=hints)
+        out_f = enc_f.encode(batch)
+        assert out_h[0] == out_f[0] == "delta"
+        np.testing.assert_array_equal(out_h[1], out_f[1], err_msg=f"t={t}")
+        np.testing.assert_array_equal(out_h[2], out_f[2], err_msg=f"t={t}")
+        np.testing.assert_array_equal(enc_h._prev, enc_f._prev)
+
+
+def test_scan_composition_cached_builder_hinted_encoder():
+    """The full host path the scan loop now runs: cached banded letterbox ->
+    delta_hints_for -> hinted encode -> host-side reconstruction equals the
+    from-scratch build at every tick, across a camera dropout."""
+    from frp_tpu.engine.batching import (
+        build_batch_i420,
+        build_batch_i420_cached,
+        delta_hints_for,
+    )
+
+    rng = np.random.default_rng(8)
+    size = 640
+    base = [np.ascontiguousarray(rng.integers(20, 110, (1080, 1920, 3),
+                                              dtype=np.uint8))
+            for _ in range(3)]
+    frames = {i: f.copy() for i, f in enumerate(base)}
+    state: dict = {}
+    enc = DeltaEncoder(block_bytes=128)
+    prev_flat = None
+    for t in range(6):
+        hints = {}
+        for i in range(3):
+            if t == 3 and i == 2:
+                frames[i] = None  # camera drops for one scan
+                hints[i] = None
+                continue
+            if frames[i] is None:
+                frames[i] = base[i].copy()  # returns
+                hints[i] = None
+                continue
+            y0 = 200 + 37 * t
+            frames[i] = frames[i].copy()
+            frames[i][y0:y0 + 120] ^= 0x11
+            hints[i] = [(y0, y0 + 120)]
+        batch, _ = build_batch_i420_cached(
+            frames, size, state=state, hints=hints, active_rows=368)
+        want, _ = build_batch_i420(frames, size, active_rows=368)
+        np.testing.assert_array_equal(batch, want, err_msg=f"tick {t}")
+        e = enc.encode(batch, hints=delta_hints_for(state, 128))
+        if e[0] == "raw":
+            prev_flat = e[1].reshape(3, -1).copy()
+        else:
+            prev_flat = DeltaEncoder.apply_host(prev_flat, e[1], e[2])
+        np.testing.assert_array_equal(
+            prev_flat.reshape(batch.shape), want, err_msg=f"tick {t}")
