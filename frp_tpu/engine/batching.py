@@ -418,6 +418,15 @@ class LetterboxCache:
         j1 = min(nh, (j1 + 1) & ~1)
         return j0, j1
 
+    def banded_capable(self, frame) -> bool:
+        """True when update(frame, dirty=...) would take the banded path."""
+        return (
+            self._i420 is not None
+            and frame.shape == self._src_shape
+            and self._geo is not None
+            and self._geo[4] is not None
+        )
+
     def dirty_blocks(self, block_bytes: int, bands: list | None = None):
         """Half-open (b0, b1) BLOCK ranges in the flattened I420 frame that
         cover the given source row bands (default: the LAST update's bands)
@@ -448,6 +457,36 @@ class LetterboxCache:
                 (a // block_bytes, -(-z // block_bytes)) for a, z in spans
             )
         return out
+
+
+class SourceChangeDetector:
+    """Change hints for sources that can't provide them: block-diffs the raw
+    source frame against the previous one in row bands (native memcmp
+    kernel, framepack v4 — ~8.8 ms per 8x1080p quiesced vs ~27 ms to fully
+    re-letterbox) and updates its previous copy in place. Used by
+    build_batch_i420_cached as the automatic fallback when a source has no
+    read_hints; disabled transparently when the native library is missing
+    (callers then run the full letterbox path)."""
+
+    def __init__(self, band: int = 16):
+        self.band = int(band)
+        self._prev: np.ndarray | None = None
+        self._disabled = False
+
+    def hints(self, frame: np.ndarray) -> list | None:
+        if self._disabled:
+            return None
+        if self._prev is None or self._prev.shape != frame.shape:
+            self._prev = np.ascontiguousarray(frame).copy()
+            return None  # first sight / geometry change: full rebuild
+        from frp_tpu.utils.native import dirty_bands
+
+        bands = dirty_bands(np.ascontiguousarray(frame), self._prev, self.band)
+        if bands is None:  # no native lib: stop paying the prev copies
+            self._disabled = True
+            self._prev = None
+            return None
+        return bands
 
 
 def build_batch_i420_cached(
@@ -511,6 +550,14 @@ def build_batch_i420_cached(
                 slot_status[i] = None  # slot content changed (blanked)
             continue
         dirty = None if hints is None else hints.get(cam)
+        if dirty is None and state["caches"][cam].banded_capable(frame):
+            # hintless source: compute hints by diffing the raw frame
+            # against the detector's previous copy (native memcmp — still
+            # ~3x cheaper than a full re-letterbox)
+            det = state.setdefault("detectors", {}).setdefault(
+                cam, SourceChangeDetector()
+            )
+            dirty = det.hints(frame)
         state["caches"][cam].update(frame, dirty)
         slot_status[i] = (cam if state["caches"][cam].last_bands is not None
                           else None)

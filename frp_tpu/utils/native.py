@@ -64,7 +64,7 @@ def get_framepack():
                 version = lib.framepack_version()
             except AttributeError:  # pre-versioning build
                 version = 0
-            if version < 3 and _build():
+            if version < 4 and _build():
                 # dlopen caches by path: re-CDLL(_LIB_PATH) would return the
                 # OLD mapping and the version check would fail forever. Load
                 # the rebuilt library through a unique copy instead.
@@ -91,6 +91,15 @@ def get_framepack():
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.c_int,
             ]
+            lib.framepack_dirty_bands.restype = ctypes.c_int
+            lib.framepack_dirty_bands.argtypes = [
+                ctypes.c_void_p,   # cur
+                ctypes.c_void_p,   # prev (updated in place at dirty bands)
+                ctypes.c_int,      # h
+                ctypes.c_long,     # row_bytes
+                ctypes.c_int,      # band
+                ctypes.c_void_p,   # flags out [nbands] uint8
+            ]
             lib.framepack_delta_blocks.restype = ctypes.c_int
             lib.framepack_delta_blocks.argtypes = [
                 ctypes.c_void_p,   # cur
@@ -103,7 +112,7 @@ def get_framepack():
                 ctypes.c_void_p,   # blocks out
                 ctypes.c_int,      # n_threads
             ]
-            assert lib.framepack_version() == 3
+            assert lib.framepack_version() == 4
             _lib = lib
         except (OSError, AttributeError, AssertionError) as e:
             logger.info("framepack load failed (%s); using cv2 path", e)
@@ -186,3 +195,36 @@ def delta_blocks(
             n_threads,
         )
     )
+
+
+def dirty_bands(cur: np.ndarray, prev: np.ndarray, band: int = 16) -> list | None:
+    """Row bands of ``cur`` that differ from ``prev`` (both [H, W, C] uint8,
+    C-contiguous, same shape); ``prev`` is updated IN PLACE at the dirty
+    bands so it tracks the last-seen frame. Returns a merged list of
+    half-open (y0, y1) source row bands, or None when the native library is
+    unavailable (callers fall back to treating everything as dirty)."""
+    lib = get_framepack()
+    if lib is None:
+        return None
+    assert cur.shape == prev.shape and cur.dtype == prev.dtype == np.uint8
+    assert cur.flags.c_contiguous and prev.flags.c_contiguous
+    h = cur.shape[0]
+    row_bytes = cur.nbytes // max(1, h)
+    nbands = -(-h // band)
+    flags = np.zeros(nbands, np.uint8)
+    n = int(lib.framepack_dirty_bands(
+        cur.ctypes.data_as(ctypes.c_void_p),
+        prev.ctypes.data_as(ctypes.c_void_p),
+        h, row_bytes, band,
+        flags.ctypes.data_as(ctypes.c_void_p),
+    ))
+    if n == 0:
+        return []
+    out: list = []
+    for i in np.flatnonzero(flags):
+        y0, y1 = int(i) * band, min(h, (int(i) + 1) * band)
+        if out and out[-1][1] == y0:
+            out[-1] = (out[-1][0], y1)  # merge adjacent bands
+        else:
+            out.append((y0, y1))
+    return out

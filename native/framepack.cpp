@@ -209,6 +209,33 @@ int framepack_delta_blocks(const uint8_t* cur, const uint8_t* prev, int n,
     return *std::max_element(counts.begin(), counts.end());
 }
 
-int framepack_version() { return 3; }
+// v4: source-frame dirty-band detector — change hints for sources that
+// can't provide them (RTSP decode, pushed frames, video files). Compares
+// cur vs prev in row bands of `band` rows at memcmp speed (~5 ms for
+// 8x1080p on the one-core host vs ~27 ms to fully re-letterbox), sets
+// flags[i]=1 for bands that differ and copies ONLY those bands into prev
+// (prev then tracks the last-seen frame). Returns the dirty-band count.
+int framepack_dirty_bands(const uint8_t* cur, uint8_t* prev, int h,
+                          long row_bytes, int band, uint8_t* flags) {
+    if (h <= 0 || band <= 0) return 0;
+    const int nbands = (h + band - 1) / band;
+    int dirty = 0;
+    for (int i = 0; i < nbands; ++i) {
+        const int y0 = i * band;
+        const int y1 = (y0 + band < h) ? y0 + band : h;
+        const long off = static_cast<long>(y0) * row_bytes;
+        const long len = static_cast<long>(y1 - y0) * row_bytes;
+        if (std::memcmp(cur + off, prev + off, len) != 0) {
+            std::memcpy(prev + off, cur + off, len);
+            flags[i] = 1;
+            ++dirty;
+        } else {
+            flags[i] = 0;
+        }
+    }
+    return dirty;
+}
+
+int framepack_version() { return 4; }
 
 }  // extern "C"

@@ -258,3 +258,38 @@ def test_scan_composition_cached_builder_hinted_encoder():
             prev_flat = DeltaEncoder.apply_host(prev_flat, e[1], e[2])
         np.testing.assert_array_equal(
             prev_flat.reshape(batch.shape), want, err_msg=f"tick {t}")
+
+
+def test_hintless_source_auto_detector():
+    """Sources with no read_hints still get banded prep: the builder diffs
+    the raw frame against a native-kernel previous copy (framepack v4) and
+    derives the bands itself — output equal to the uncached path, and the
+    delta hints show the banded status after warm-up."""
+    from frp_tpu.engine.batching import (
+        build_batch_i420,
+        build_batch_i420_cached,
+        delta_hints_for,
+    )
+    from frp_tpu.utils.native import get_framepack
+
+    if get_framepack() is None:
+        pytest.skip("native framepack unavailable")
+    rng = np.random.default_rng(9)
+    f = np.ascontiguousarray(rng.integers(0, 255, (1080, 1920, 3), dtype=np.uint8))
+    state: dict = {}
+
+    def check(frames):
+        got, _ = build_batch_i420_cached(
+            frames, 640, state=state, hints=None, active_rows=368)
+        want, _ = build_batch_i420(frames, 640, active_rows=368)
+        np.testing.assert_array_equal(got, want)
+
+    check({0: f})                     # cold: cache init (detector idle)
+    check({0: f})                     # detector seeds (full rebuild)
+    f2 = f.copy(); f2[500:600] ^= 0x44
+    check({0: f2})                    # detector supplies bands
+    hints = delta_hints_for(state, 128)
+    assert hints is not None and hints[0] not in (None,), hints
+    assert len(hints[0]) > 0          # banded: concrete block ranges
+    check({0: f2})                    # no change: empty bands, still exact
+    assert delta_hints_for(state, 128)[0] == []
