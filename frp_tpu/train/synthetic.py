@@ -33,11 +33,18 @@ TIERS = {
             backlit_p=0.25),
     2: dict(yaw=60, pitch=40, roll=22, occ=0.30, gain=(0.25, 1.3), blur=7,
             backlit_p=0.45),
+    # tier 3 (round-4 widening): codec degradation — real camera streams
+    # arrive JPEG/H.264-compressed with sensor read noise. Pose kept at
+    # tier-1 level so the eval attributes its degradation to the
+    # compression axis, not to harder pose. jpeg = quality range,
+    # noise = Gaussian sigma range (uint8 domain).
+    3: dict(yaw=35, pitch=22, roll=14, occ=0.15, gain=(0.5, 1.25), blur=3,
+            backlit_p=0.25, jpeg=(30, 75), noise=(2.0, 6.0)),
 }
 # training mix over tiers — mostly easy/moderate so bootstrap capacity is
 # spent where serving traffic lives, with enough hard-tier exposure to learn
-# the invariances
-TIER_MIX = (0.45, 0.35, 0.20)
+# the invariances (tier 3's 10% teaches compression robustness)
+TIER_MIX = (0.40, 0.32, 0.18, 0.10)
 
 
 def sample_pose(rng, tier: int):
@@ -83,7 +90,32 @@ def apply_photometric(img: np.ndarray, rng, tier: int) -> np.ndarray:
     blur_len = int(rng.integers(0, t["blur"] + 1)) if t["blur"] else 0
     if blur_len >= 2:
         out = _motion_blur(out, blur_len, float(rng.uniform(0, np.pi)))
-    return np.clip(out, 0, 255).astype(np.uint8)
+    noise = t.get("noise")
+    if noise:
+        sigma = float(rng.uniform(*noise))
+        out = out + rng.normal(0.0, sigma, out.shape).astype(np.float32)
+    img8 = np.clip(out, 0, 255).astype(np.uint8)
+    jq = t.get("jpeg")
+    if jq:
+        img8 = jpeg_roundtrip(img8, int(rng.integers(jq[0], jq[1] + 1)))
+    return img8
+
+
+def jpeg_roundtrip(rgb: np.ndarray, quality: int) -> np.ndarray:
+    """Encode-decode through JPEG at the given quality (the codec
+    degradation real camera streams carry). No-op without cv2."""
+    try:
+        import cv2
+    except ImportError:
+        return rgb
+    ok, buf = cv2.imencode(
+        ".jpg", np.ascontiguousarray(rgb[..., ::-1]),
+        [int(cv2.IMWRITE_JPEG_QUALITY), int(quality)],
+    )
+    if not ok:
+        return rgb
+    dec = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+    return np.ascontiguousarray(dec[..., ::-1])
 
 
 def _motion_blur(img: np.ndarray, length: int, angle: float) -> np.ndarray:

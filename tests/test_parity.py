@@ -98,3 +98,35 @@ def test_hard_tier_threshold_transfer():
     assert m["fpr@0.4"] <= 0.02, m   # high-confidence band stays clean
     assert m["tpr@0.6"] >= 0.55, m   # degraded but usable recall
     assert m["auc"] >= 0.90, m
+
+
+def test_compressed_tier_threshold_transfer():
+    """Tier 3 (round-4 widening: tier-1 pose + JPEG 30-75 + sensor noise —
+    the degradation real camera streams carry): decisions at the reference
+    constants must stay trustworthy on compressed inputs even though the
+    bootstrap embedder never trained on them. Rendering-machinery sanity is
+    included: tiers 0-2 carry no codec keys (byte-stable vs round 3)."""
+    import numpy as np
+
+    from frp_tpu.train.pairs import jitter_crop
+    from frp_tpu.train.synthetic import TIERS, jpeg_roundtrip
+
+    for t in (0, 1, 2):
+        assert "jpeg" not in TIERS[t] and "noise" not in TIERS[t]
+    rng = np.random.default_rng(77)
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    deg = jpeg_roundtrip(img, 35)
+    assert deg.shape == img.shape and deg.dtype == np.uint8
+    assert not np.array_equal(deg, img)  # quality 35 must actually degrade
+
+    crops, labels = build_pair_crops(
+        n_identities=16, variants=4, seed=9800, difficulty=3
+    )
+    crops = np.stack([jitter_crop(c, rng) for c in crops])
+    emb = embed_crops(crops)
+    same, diff = pair_distances(emb, labels)
+    m = threshold_metrics(same, diff)
+    assert m["fpr@0.6"] <= 0.08, m   # accepts stay trustworthy
+    assert m["fpr@0.4"] <= 0.02, m   # high-confidence band stays clean
+    assert m["tpr@0.6"] >= 0.55, m   # compression-degraded but usable
+    assert m["auc"] >= 0.90, m

@@ -71,7 +71,7 @@ def main():
                  "backend": jax.default_backend(),
                  "resize_interp": _resize_interp(),
                  "tiers": {}}
-    for tier in (0, 1, 2):
+    for tier in (0, 1, 2, 3):
         scenes, slabels = build_scene_set(
             args.identities, args.variants, SEED, difficulty=tier
         )
@@ -105,8 +105,9 @@ def main():
     print("| Tier | Detector recall | e2e TPR@0.6 | e2e FPR@0.6 | "
           "e2e AUC | crop TPR@0.6 | crop FPR@0.6 |")
     print("|---|---|---|---|---|---|---|")
-    names = {0: "0 easy (round-2 domain)", 1: "1 moderate", 2: "2 hard"}
-    for tier in (0, 1, 2):
+    names = {0: "0 easy (round-2 domain)", 1: "1 moderate", 2: "2 hard",
+             3: "3 compressed (tier-1 pose + JPEG/noise)"}
+    for tier in (0, 1, 2, 3):
         t = out["tiers"][str(tier)]
         e, c = t["e2e"], t["crop"]
         print(f"| {names[tier]} | {t['detector_recall']:.3f} | "
