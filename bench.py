@@ -224,13 +224,8 @@ def main():
     if use_delta:
         phase("delta-stage precompile (ladder rungs)")
         eng.fetch(eng.submit_encoded(("raw", batch)))
-        nblocks = batch.reshape(8, -1).shape[1] // DELTA_BLOCK
-        for denom in DeltaEncoder.LADDER:
-            cap = nblocks // denom
-            idx = np.full((8, cap), -1, np.int32)
-            blocks = np.zeros((8, cap, DELTA_BLOCK), np.uint8)
-            eng.fetch(eng.submit_encoded(("delta", idx, blocks)))
-            log(f"delta rung 1/{denom} compiled")
+        done = eng.precompile_delta_rungs(block=DELTA_BLOCK)
+        log(f"{done} delta rungs compiled")
     # faces/batch with the walking subject present (11 static + walker)
     bands_m = advance_motion()
     batch_m, fmt_m = host_prep(bands_m)

@@ -88,12 +88,7 @@ def main():
     enc = DeltaEncoder(block_bytes=blk)
     batch = prep()
     eng.fetch(eng.submit_encoded(("raw", batch)))
-    nblocks = batch.reshape(8, -1).shape[1] // blk
-    for denom in DeltaEncoder.LADDER:
-        cap = nblocks // denom
-        eng.fetch(eng.submit_encoded(
-            ("delta", np.full((8, cap), -1, np.int32),
-             np.zeros((8, cap, blk), np.uint8))))
+    eng.precompile_delta_rungs(block=blk)
 
     def window(depth, group, n=None):
         # n must dominate depth or the untimed prefill's device work

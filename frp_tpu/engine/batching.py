@@ -547,6 +547,11 @@ def build_batch_i420_cached(
                 batch[i, rows:, :] = 128
                 state["caches"][cam] = LetterboxCache(size, rows, buf=batch[i])
                 state["live"].discard(cam)
+                # the change detector's previous copy predates the outage;
+                # on the camera's return it would under-report any band
+                # that reverted to its pre-outage content, ghosting stale
+                # pixels into the cache forever — drop it with the cache
+                state.get("detectors", {}).pop(cam, None)
                 slot_status[i] = None  # slot content changed (blanked)
             continue
         dirty = None if hints is None else hints.get(cam)

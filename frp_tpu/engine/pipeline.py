@@ -206,19 +206,30 @@ def build_pipeline(
     return pipeline
 
 
-def embed_compact_rungs(n: int) -> list[int]:
+def embed_compact_rungs(
+    n: int, enabled: bool | None = None, rung_env: str | None = None
+) -> list[int]:
     """Compact-batch sizes (ascending, all < n) for embed-stage valid-slot
     compaction; [] disables. Three rungs cover the serving regimes: sparse
     surveillance (few faces -> n/8), mixed (n/2), and the face-dense bench
     scene (~75% slots valid -> 13n/16). Override with FRP_EMBED_RUNGS
     ("16,64,104" style) or disable with FRP_EMBED_COMPACT=0. Small batches
     (enroll/compare uploads, n < 64) skip compaction — the win can't cover
-    the gather/scatter and program-size cost there."""
-    if _os.getenv("FRP_EMBED_COMPACT", "1") == "0" or n < 64:
+    the gather/scatter and program-size cost there.
+
+    ``enabled``/``rung_env``: explicit overrides of the env vars. jax.jit
+    defers tracing to the first CALL, so anything reading the env inside a
+    stage body sees whatever the env is THEN — build_stages captures the
+    env once at build time and passes it through (a temporary env toggle
+    around build_stages alone would otherwise be silently ineffective)."""
+    if enabled is None:
+        enabled = _os.getenv("FRP_EMBED_COMPACT", "1") != "0"
+    if rung_env is None:
+        rung_env = _os.getenv("FRP_EMBED_RUNGS")
+    if not enabled or n < 64:
         return []
-    env = _os.getenv("FRP_EMBED_RUNGS")
-    if env:
-        rungs = sorted({int(x) for x in env.split(",") if x.strip()})
+    if rung_env:
+        rungs = sorted({int(x) for x in rung_env.split(",") if x.strip()})
     else:
         rungs = sorted({max(8, n // 8), n // 2, (13 * n) // 16})
     return [k for k in rungs if 0 < k < n]
@@ -372,13 +383,21 @@ def build_stages(
             fake = jax.nn.softmax(logits, axis=-1)[:, 1]
         return emb, fake
 
+    # compaction config is captured HERE (build time), not at trace time:
+    # jit defers tracing to the first call, so reading the env inside the
+    # stage body would see whatever the env happens to be then
+    _compact_enabled = _os.getenv("FRP_EMBED_COMPACT", "1") != "0"
+    _compact_rung_env = _os.getenv("FRP_EMBED_RUNGS")
+
     def embed_stage(params, crops, valid, scale=1.0):
         b, m = crops.shape[0], crops.shape[1]
         n = b * m
         flat = crops.reshape(n, 112, 112, 3)
         vflat = valid.reshape(-1)
 
-        rungs = embed_compact_rungs(n)
+        rungs = embed_compact_rungs(
+            n, enabled=_compact_enabled, rung_env=_compact_rung_env
+        )
         if rungs:
             # Valid-slot compaction (VERDICT r3 #3): the multi-stream scan
             # leaves ~25% of the B*M crop slots invalid (face count varies
@@ -1021,7 +1040,13 @@ class RecognitionEngine:
             frames_dev = self._stages["delta"](self._delta_prev, idx, blocks)
             self.delta_stats["deltas"] += 1
         self._delta_prev = frames_dev
-        self._delta_src = tag
+        if tag is not None:
+            self._delta_src = tag
+        # untagged payloads (precompile no-ops, hand-built tests) opt out of
+        # validation and are content-preserving by contract — keep the live
+        # chain's (enc_id, seq) so the guard survives a warmup precompile
+        # running mid-stream (it would otherwise silently disarm for the
+        # next tagged delta)
         b = int(frames_dev.shape[0])
         out, gal_names = self._run_stages(frames_dev, tolerance, "yuv420", packed)
         return out, b, packed, gal_names, time.perf_counter()

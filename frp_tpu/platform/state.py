@@ -254,6 +254,12 @@ class Camera:
                     self.healthy = False
             return ok, frame
 
+    def read_hints(self):
+        """Delegate change hints to the underlying source (the scan loop
+        probes the Camera wrapper, not the FrameSource)."""
+        src_hints = getattr(self.source, "read_hints", None)
+        return src_hints() if src_hints is not None else None
+
     def restart(self) -> bool:
         with self.lock:
             ok = self.source.restart()

@@ -293,3 +293,55 @@ def test_hintless_source_auto_detector():
     assert len(hints[0]) > 0          # banded: concrete block ranges
     check({0: f2})                    # no change: empty bands, still exact
     assert delta_hints_for(state, 128)[0] == []
+
+
+def test_camera_wrapper_delegates_read_hints():
+    """The scan loop probes the platform Camera wrapper, not the raw
+    FrameSource — without delegation the whole hint path is dead in
+    serving (round-4 review finding)."""
+    from frp_tpu.platform.state import Camera
+
+    cam = Camera(0, "c", source="synthetic:256x144")
+    ok, frame = cam.read()
+    assert ok and frame is not None
+    hints = cam.read_hints()
+    assert hints is not None and len(hints) >= 1
+    y0, y1 = hints[-1]
+    assert 0 <= y0 < y1 <= frame.shape[0]
+
+
+def test_detector_dropped_with_blanked_slot():
+    """A camera outage must drop the slot's SourceChangeDetector along with
+    its cache: the detector's pre-outage previous copy would under-report
+    any band that reverts to pre-outage content after the camera returns,
+    ghosting stale pixels into the serving letterbox forever."""
+    from frp_tpu.engine.batching import (
+        build_batch_i420,
+        build_batch_i420_cached,
+    )
+    from frp_tpu.utils.native import get_framepack
+
+    if get_framepack() is None:
+        pytest.skip("native framepack unavailable")
+    rng = np.random.default_rng(10)
+    base = np.ascontiguousarray(rng.integers(0, 255, (1080, 1920, 3),
+                                             dtype=np.uint8))
+    state: dict = {}
+
+    def check(frames):
+        got, _ = build_batch_i420_cached(
+            frames, 640, state=state, hints=None, active_rows=368)
+        want, _ = build_batch_i420(frames, 640, active_rows=368)
+        np.testing.assert_array_equal(got, want)
+
+    check({0: base})                 # cold
+    check({0: base})                 # detector seeds with `base`
+    ghost = base.copy()
+    ghost[300:500] ^= 0x7F           # a "person" appears
+    check({0: ghost})
+    check({0: None})                 # outage: slot blanks
+    check({0: ghost})                # returns mid-change (full rebuild)
+    check({0: base})                 # scene reverts to pre-outage content:
+    #                                  a stale detector would diff base vs
+    #                                  its old `base` copy, see no change,
+    #                                  and leave the ghost in the cache

@@ -513,6 +513,18 @@ def test_embed_compaction_equivalence(monkeypatch):
     embed_plain = build_stages(**kw)["embed"]
     monkeypatch.delenv("FRP_EMBED_COMPACT")
 
+    # the kill switch must be captured at BUILD time (jit traces at first
+    # call, which happens after delenv above): the plain build must carry
+    # no lax.switch ladder while the compacted one does — without this the
+    # whole comparison below would be a tautology of two compacted stages
+    crops_j = jnp.asarray(crops)
+    valid_j = jnp.zeros((b, m), bool)
+    hlo_c = embed_c.lower(params, crops_j, valid_j, 1.3).as_text()
+    hlo_p = embed_plain.lower(params, crops_j, valid_j, 1.3).as_text()
+    assert "stablehlo.case" in hlo_c, "ladder missing"
+    assert "stablehlo.case" not in hlo_p, (
+        "FRP_EMBED_COMPACT=0 was not captured at build time")
+
     for nv in (0, 5, 8, 33, 52, 53, 64):
         valid = np.zeros(b * m, bool)
         valid[rng.permutation(b * m)[:nv]] = True
