@@ -34,6 +34,14 @@ def main():
     p.add_argument("--save-every", type=int, default=0,
                    help="also save --out every N steps (long CPU runs: a "
                         "killed process keeps its progress)")
+    p.add_argument("--state", default=None,
+                   help="full-trainer-state checkpoint path (params + "
+                        "classifier + optimizer + step, train/checkpoint.py)."
+                        " Saved at --save-every and at the end; restored at "
+                        "startup when present — unlike --resume (backbone "
+                        "only), resuming from it does NOT re-initialize the "
+                        "ArcFace classifier, so the loss continues instead "
+                        "of jumping back while the class centers re-learn")
     args = p.parse_args()
     if args.out is None:
         args.out = f"weights/{args.arch}.npz"
@@ -58,6 +66,16 @@ def main():
         host["backbone"] = warm
         trainer.state["params"] = _jax.device_put(host)
         print(f"resumed backbone from {args.resume}")
+    if args.state:
+        import jax as _jax
+
+        from frp_tpu.train.checkpoint import load_checkpoint
+
+        restored = load_checkpoint(args.state, like=trainer.state)
+        if restored is not None:
+            trainer.state = _jax.device_put(restored)
+            step0 = int(_jax.device_get(trainer.state["step"]))
+            print(f"restored full trainer state from {args.state} (step {step0})")
     from frp_tpu.train.pairs import jitter_crop
 
     rng = np.random.default_rng(0)
@@ -86,8 +104,17 @@ def main():
             )
         if args.save_every and step and step % args.save_every == 0:
             save_params(args.out, trainer.embedder_params())
+            if args.state:
+                from frp_tpu.train.checkpoint import save_checkpoint
+
+                save_checkpoint(args.state, trainer.state)
             print(f"checkpointed {args.out} at step {step}", flush=True)
     save_params(args.out, trainer.embedder_params())
+    if args.state:
+        from frp_tpu.train.checkpoint import save_checkpoint
+
+        save_checkpoint(args.state, trainer.state)
+        print(f"saved trainer state to {args.state}")
     print(f"saved {args.out}")
 
     # quick separation report: same-identity vs cross-identity distances
@@ -97,16 +124,17 @@ def main():
     _init, forward = backbone_family(args.arch)
     params = jax.device_put(trainer.embedder_params())
     fwd = jax.jit(forward)
+    k = min(16, len(identities))
     embs = []
-    for ident in identities[:16]:
+    for ident in identities[:k]:
         crops = np.stack([make_identity_crop(ident, rng) for _ in range(4)])
         x = ((crops.astype(np.float32) - 127.5) / 128.0)
         embs.append(np.asarray(jax.device_get(fwd(params, jnp.asarray(x)))))
-    embs = np.stack(embs)  # [16, 4, D]
+    embs = np.stack(embs)  # [k, 4, D]
     same = [np.linalg.norm(e[i] - e[j]) for e in embs for i in range(4) for j in range(i + 1, 4)]
     cross = [
         np.linalg.norm(embs[a, 0] - embs[b, 0])
-        for a in range(16) for b in range(a + 1, 16)
+        for a in range(k) for b in range(a + 1, k)
     ]
     print(
         f"same-identity distance: mean {np.mean(same):.3f}  "
