@@ -263,6 +263,7 @@ class HTTPServer:
         self.router = router
         self.ws_handler = ws_handler  # async def (request, reader, writer)
         self._server: asyncio.AbstractServer | None = None
+        self._conn_tasks: set = set()  # live connection-handler tasks
 
     async def start(self, host: str = "0.0.0.0", port: int = 8000):
         self._server = await asyncio.start_server(self._handle_conn, host, port)
@@ -272,11 +273,24 @@ class HTTPServer:
     async def stop(self):
         if self._server is not None:
             self._server.close()
+            # also end LIVE connections: close() only stops the listener
+            # (3.12 has no Server.close_clients), and abandoned handler
+            # tasks — websocket send loops park on queue.get forever —
+            # turn into "coroutine ignored" unraisable warnings at loop
+            # shutdown. Cancel and await them so teardown is clean.
+            for task in list(self._conn_tasks):
+                task.cancel()
+            if self._conn_tasks:
+                await asyncio.gather(*self._conn_tasks, return_exceptions=True)
             await self._server.wait_closed()
             self._server = None
 
     # ------------------------------------------------------------------
     async def _handle_conn(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
+        task = asyncio.current_task()
+        if task is not None:
+            self._conn_tasks.add(task)
+            task.add_done_callback(self._conn_tasks.discard)
         try:
             while True:
                 try:

@@ -219,6 +219,15 @@ class SocketIOServer:
         finally:
             sender.cancel()
             pinger.cancel()
+            # await the cancelled tasks: cancel() alone leaves them pending,
+            # and a loop shutting down right after (connection-teardown
+            # tests) garbage-collects the un-run coroutines with
+            # "coroutine ignored" unraisable warnings
+            for task in (sender, pinger):
+                try:
+                    await task
+                except (asyncio.CancelledError, Exception):
+                    pass
             async with self._lock:
                 self._clients.pop(sid, None)
             logger.info("socket.io client disconnected: %s", sid)
