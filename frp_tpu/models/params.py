@@ -429,11 +429,31 @@ def units_from_onnx_nodes(nodes: list, inits: dict) -> list:
     Understands the ops real face-model exports carry weights in: Conv
     (optionally biased — onnxsim folds BatchNorm into the preceding conv),
     BatchNormalization, PRelu, Gemm (transB-aware), and MatMul+Add pairs.
-    Weightless ops (Relu/Add/Concat/Resize/Reshape/...) are skipped."""
+    Weightless ops (Relu/Add/Concat/Resize/Reshape/...) are skipped.
+
+    Weight-PLUMBING chains are followed: un-constant-folded torch exports
+    wrap parameters in shape ops (e.g. PReLU's [C] slope goes through an
+    Unsqueeze to [C,1,1] before the PRelu node), so an op input that names
+    such a node's output resolves to the underlying initializer. Plumbing
+    ops whose input is NOT an initializer are activation-path ops and stay
+    skipped."""
+    alias: dict = {}
+
+    def resolve(name):
+        return inits.get(name, alias.get(name))
+
     units = []
     pending_matmul: tuple | None = None  # (out_name, w) awaiting its Add bias
     for node in nodes:
         op, ins = node["op"], node["inputs"]
+        if op in ("Identity", "Unsqueeze", "Squeeze", "Reshape", "Cast",
+                  "Flatten"):
+            src = resolve(ins[0]) if ins else None
+            if src is not None and node["outputs"]:
+                # value-preserving for our purposes: every consumer
+                # reshapes/flattens weights to its own layout anyway
+                alias[node["outputs"][0]] = np.asarray(src)
+            continue
         if pending_matmul is not None:
             out_name, w = pending_matmul
             pending_matmul = None
@@ -446,33 +466,33 @@ def units_from_onnx_nodes(nodes: list, inits: dict) -> list:
                 continue
             units.append(("dense", {"w": w, "b": np.zeros(w.shape[1], np.float32)},
                           "matmul"))
-        if op == "Conv" and len(ins) >= 2 and ins[1] in inits:
-            w = np.asarray(inits[ins[1]], np.float32)
+        if op == "Conv" and len(ins) >= 2 and resolve(ins[1]) is not None:
+            w = np.asarray(resolve(ins[1]), np.float32)
             unit = {"w": w.transpose(2, 3, 1, 0)}  # OIHW -> HWIO
-            if len(ins) >= 3 and ins[2] in inits:
-                unit["b"] = np.asarray(inits[ins[2]], np.float32).reshape(-1)
+            if len(ins) >= 3 and resolve(ins[2]) is not None:
+                unit["b"] = np.asarray(resolve(ins[2]), np.float32).reshape(-1)
             units.append(("conv", unit, node.get("name", op)))
         elif op == "BatchNormalization" and len(ins) >= 5:
             units.append(("bn", {
-                "gamma": np.asarray(inits[ins[1]], np.float32),
-                "beta": np.asarray(inits[ins[2]], np.float32),
-                "mean": np.asarray(inits[ins[3]], np.float32),
-                "var": np.asarray(inits[ins[4]], np.float32),
+                "gamma": np.asarray(resolve(ins[1]), np.float32),
+                "beta": np.asarray(resolve(ins[2]), np.float32),
+                "mean": np.asarray(resolve(ins[3]), np.float32),
+                "var": np.asarray(resolve(ins[4]), np.float32),
             }, node.get("name", op)))
-        elif op == "PRelu" and len(ins) >= 2 and ins[1] in inits:
+        elif op == "PRelu" and len(ins) >= 2 and resolve(ins[1]) is not None:
             units.append(("prelu", {
-                "alpha": np.asarray(inits[ins[1]], np.float32).reshape(-1),
+                "alpha": np.asarray(resolve(ins[1]), np.float32).reshape(-1),
             }, node.get("name", op)))
-        elif op == "Gemm" and len(ins) >= 2 and ins[1] in inits:
-            w = np.asarray(inits[ins[1]], np.float32)
+        elif op == "Gemm" and len(ins) >= 2 and resolve(ins[1]) is not None:
+            w = np.asarray(resolve(ins[1]), np.float32)
             if node["attrs"].get("transB", 0):  # [out, in] -> [in, out]
                 w = w.T
-            b = (np.asarray(inits[ins[2]], np.float32).reshape(-1)
-                 if len(ins) >= 3 and ins[2] in inits
+            b = (np.asarray(resolve(ins[2]), np.float32).reshape(-1)
+                 if len(ins) >= 3 and resolve(ins[2]) is not None
                  else np.zeros(w.shape[1], np.float32))
             units.append(("dense", {"w": w, "b": b}, node.get("name", op)))
-        elif op == "MatMul" and len(ins) == 2 and ins[1] in inits:
-            w = np.asarray(inits[ins[1]], np.float32)  # already [in, out]
+        elif op == "MatMul" and len(ins) == 2 and resolve(ins[1]) is not None:
+            w = np.asarray(resolve(ins[1]), np.float32)  # already [in, out]
             pending_matmul = (node["outputs"][0] if node["outputs"] else "", w)
     if pending_matmul is not None:
         out_name, w = pending_matmul
