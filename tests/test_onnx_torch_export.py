@@ -143,3 +143,159 @@ def test_real_torch_export_imports_and_matches_torch_forward(tmp_path, fold):
         fnn.set_padding_mode("same")
     assert got.shape == ref.shape == (2, EMBED)
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+class _DWSep(torch.nn.Module):
+    def __init__(self, cin, cout, stride):
+        super().__init__()
+        self.dw = torch.nn.Conv2d(cin, cin, 3, stride, 1, groups=cin, bias=False)
+        self.dw_bn = torch.nn.BatchNorm2d(cin)
+        self.dw_act = torch.nn.PReLU(cin)
+        self.pw = torch.nn.Conv2d(cin, cout, 1, bias=False)
+        self.pw_bn = torch.nn.BatchNorm2d(cout)
+        self.pw_act = torch.nn.PReLU(cout)
+
+    def forward(self, x):
+        return self.pw_act(self.pw_bn(self.pw(
+            self.dw_act(self.dw_bn(self.dw(x))))))
+
+
+class _CBA(torch.nn.Module):
+    def __init__(self, cin, cout, k, stride=1, act=True):
+        super().__init__()
+        self.conv = torch.nn.Conv2d(cin, cout, k, stride, k // 2, bias=False)
+        self.bn = torch.nn.BatchNorm2d(cout)
+        self.act = torch.nn.PReLU(cout) if act else None
+
+    def forward(self, x):
+        y = self.bn(self.conv(x))
+        return self.act(y) if self.act is not None else y
+
+
+class _SSH(torch.nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        half, quarter = cout // 2, cout // 4
+        self.conv3 = _CBA(cin, half, 3, act=False)
+        self.conv5_1 = _CBA(cin, quarter, 3)
+        self.conv5_2 = _CBA(quarter, quarter, 3, act=False)
+        self.conv7_2 = _CBA(quarter, quarter, 3)
+        self.conv7_3 = _CBA(quarter, quarter, 3, act=False)
+
+    def forward(self, x):
+        c3 = self.conv3(x)
+        c5_1 = self.conv5_1(x)
+        c5 = self.conv5_2(c5_1)
+        c7 = self.conv7_3(self.conv7_2(c5_1))
+        return torch.relu(torch.cat([c3, c5, c7], dim=1))
+
+
+class _RetinaFace(torch.nn.Module):
+    """Layer-for-layer mirror of models/retinaface.py act="prelu"."""
+
+    S1 = [(16, 1), (32, 2), (32, 1), (64, 2), (64, 1)]
+    S2 = [(128, 2)] + [(128, 1)] * 5
+    S3 = [(256, 2), (256, 1)]
+
+    def __init__(self):
+        super().__init__()
+        self.stem = _CBA(3, 8, 3, stride=2)
+
+        def stage(cin, plan):
+            blocks = []
+            for cout, s in plan:
+                blocks.append(_DWSep(cin, cout, s))
+                cin = cout
+            return torch.nn.ModuleList(blocks), cin
+
+        self.stage1, c1 = stage(8, self.S1)
+        self.stage2, c2 = stage(c1, self.S2)
+        self.stage3, c3 = stage(c2, self.S3)
+        self.fpn_lat = torch.nn.ModuleList(
+            [_CBA(c, 64, 1) for c in (c1, c2, c3)])
+        self.fpn_td = torch.nn.ModuleList([_CBA(64, 64, 3) for _ in range(2)])
+        self.ssh = torch.nn.ModuleList([_SSH(64, 64) for _ in range(3)])
+        self.head_cls = torch.nn.ModuleList(
+            [torch.nn.Conv2d(64, 4, 1, bias=False) for _ in range(3)])
+        self.head_box = torch.nn.ModuleList(
+            [torch.nn.Conv2d(64, 8, 1, bias=False) for _ in range(3)])
+        self.head_ldm = torch.nn.ModuleList(
+            [torch.nn.Conv2d(64, 20, 1, bias=False) for _ in range(3)])
+
+    def forward(self, x):
+        y = self.stem(x)
+        feats = []
+        for blocks in (self.stage1, self.stage2, self.stage3):
+            for blk in blocks:
+                y = blk(y)
+            feats.append(y)
+        lat = [m(f) for m, f in zip(self.fpn_lat, feats)]
+        p3 = lat[2]
+        p2 = self.fpn_td[0](
+            lat[1] + torch.nn.functional.interpolate(p3, scale_factor=2.0,
+                                                     mode="nearest"))
+        p1 = self.fpn_td[1](
+            lat[0] + torch.nn.functional.interpolate(p2, scale_factor=2.0,
+                                                     mode="nearest"))
+        pyramid = [p1, p2, p3]
+        feats = [m(f) for m, f in zip(self.ssh, pyramid)]
+        cls = [m(f) for m, f in zip(self.head_cls, feats)]
+        box = [m(f) for m, f in zip(self.head_box, feats)]
+        ldm = [m(f) for m, f in zip(self.head_ldm, feats)]
+        return (*cls, *box, *ldm)
+
+
+@pytest.mark.parametrize("fold", [True, False])
+def test_real_torch_detector_export_imports(tmp_path, fold):
+    """A real torch export of the det-style net — FPN Resize nodes, Concat,
+    per-channel PReLU, depthwise groups — imports onto the act="prelu"
+    RetinaFace tree and our forward matches torch's raw heads."""
+    from frp_tpu.models.retinaface import NUM_ANCHORS, init_retinaface, retinaface_forward
+
+    rng = np.random.default_rng(5)
+    net = _RetinaFace().eval()
+    _realistic_stats(net, rng)
+    path = str(tmp_path / f"real_det_fold{fold}.onnx")
+    from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+
+    orig = onnx_proto_utils._add_onnxscript_fn
+    onnx_proto_utils._add_onnxscript_fn = lambda b, c: b
+    try:
+        torch.onnx.export(net, (torch.randn(1, 3, 128, 128),), path,
+                          opset_version=17, do_constant_folding=fold,
+                          dynamo=False)
+    finally:
+        onnx_proto_utils._add_onnxscript_fn = orig
+
+    graph = load_onnx_graph(path)
+    assert graph is not None
+    ops = {n["op"] for n in graph["nodes"]}
+    assert "Resize" in ops and "Concat" in ops, ops
+
+    target = init_retinaface(11, act="prelu")
+    copied = import_onnx_graph(target, graph)
+    assert copied > 100
+
+    x = rng.normal(0, 1, (1, 128, 128, 3)).astype(np.float32)
+    with torch.no_grad():
+        heads = [t.numpy() for t in net(torch.from_numpy(x.transpose(0, 3, 1, 2)))]
+    fnn.set_padding_mode("torch")
+    try:
+        got = retinaface_forward(target, x)
+    finally:
+        fnn.set_padding_mode("same")
+    # our forward concatenates [level0, level1, level2] anchors; compare
+    # each level segment against the matching torch head map
+    sizes = [h.shape[2] * h.shape[3] * NUM_ANCHORS for h in heads[:3]]
+    for key, dims, off in (("cls_logits", 2, 0), ("loc", 4, 3), ("ldm", 10, 6)):
+        ours = np.asarray(got[key])
+        start = 0
+        for lvl in range(3):
+            ref = heads[off + lvl]
+            b, c, h, w = ref.shape
+            ref = ref.transpose(0, 2, 3, 1).reshape(b, h * w * NUM_ANCHORS, dims)
+            seg = ours[:, start : start + sizes[lvl], :]
+            np.testing.assert_allclose(
+                seg, ref, rtol=2e-3, atol=2e-3,
+                err_msg=f"{key} level {lvl} fold={fold}")
+            start += sizes[lvl]
