@@ -62,8 +62,10 @@ def _watchdog(interval: float = 60.0) -> None:
             log(f"still running: phase={_PHASE[0]}")
     threading.Thread(target=run, daemon=True).start()
 
-DEPTH = 48         # submissions in flight (sweep: benchmarks/
-GROUP = 24         # profile_pipeline_sweep.py — shrinking the wire moved
+# BENCH_DEPTH/GROUP/WINDOW/WINDOWS env overrides exist for the CPU
+# self-test (tools/bench_selftest.py) — production values are the defaults
+DEPTH = int(os.getenv("BENCH_DEPTH", "48"))  # submissions in flight (sweep: benchmarks/
+GROUP = int(os.getenv("BENCH_GROUP", "24"))  # profile_pipeline_sweep.py — shrinking the wire moved
 #                    the optimum twice: delta transfer took (6, 3) to
 #                    (24, 12) = 23.2 ms/batch, and the 128-byte delta
 #                    blocks (1.9x fewer bytes again) to (48, 24) =
@@ -71,7 +73,7 @@ GROUP = 24         # profile_pipeline_sweep.py — shrinking the wire moved
 #                    regresses). Trade: ~0.8 s pipeline latency at depth
 #                    48 — the scan loop's detection-to-alert latency uses
 #                    the blocking single-batch path, unaffected.
-WINDOW = 96        # timed batches per window — large relative to DEPTH so
+WINDOW = int(os.getenv("BENCH_WINDOW", "96"))  # timed batches per window — large relative to DEPTH so
 #                    the measurement reflects sustained steady state (the
 #                    timer now starts BEFORE the prefill, so all counted
 #                    work is inside the window); 96 = 2x depth, an exact
@@ -82,7 +84,7 @@ DELTA_BLOCK = int(os.getenv("FRP_DELTA_BLOCK",
 #                  than the round-3 initial 256 on these scenes (7.0x vs
 #                  3.8x overall wire compression, same scatter row count --
 #                  benchmarks/profile_block_size.py)
-WINDOWS = 3        # windows per attempt (best window reported per attempt)
+WINDOWS = int(os.getenv("BENCH_WINDOWS", "3"))  # windows per attempt (best window reported per attempt)
 
 
 def _rungs_detail():
