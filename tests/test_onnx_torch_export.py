@@ -299,3 +299,122 @@ def test_real_torch_detector_export_imports(tmp_path, fold):
                 seg, ref, rtol=2e-3, atol=2e-3,
                 err_msg=f"{key} level {lvl} fold={fold}")
             start += sizes[lvl]
+
+
+class _SE(torch.nn.Module):
+    """torchvision SqueezeExcitation layout: 1x1 convs (our tree uses dense
+    — the importer coerces [1,1,i,o] conv weights onto dense units)."""
+
+    def __init__(self, c, squeeze):
+        super().__init__()
+        self.fc1 = torch.nn.Conv2d(c, squeeze, 1)
+        self.fc2 = torch.nn.Conv2d(squeeze, c, 1)
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        s = torch.nn.functional.hardsigmoid(self.fc2(torch.relu(self.fc1(s))))
+        return x * s
+
+
+class _MBV3Block(torch.nn.Module):
+    def __init__(self, cin, k, exp, cout, use_se):
+        super().__init__()
+        if exp != cin:
+            self.expand = torch.nn.Conv2d(cin, exp, 1, bias=False)
+            self.expand_bn = torch.nn.BatchNorm2d(exp)
+        else:
+            self.expand = None
+        self.dw = torch.nn.Conv2d(exp, exp, k, 1, k // 2, groups=exp, bias=False)
+        self.dw_bn = torch.nn.BatchNorm2d(exp)
+        if use_se:
+            from frp_tpu.models.nn import make_divisible
+
+            self.se = _SE(exp, make_divisible(exp // 4, 8))
+        else:
+            self.se = None
+        self.project = torch.nn.Conv2d(exp, cout, 1, bias=False)
+        self.project_bn = torch.nn.BatchNorm2d(cout)
+
+
+class _MobileNetV3Small(torch.nn.Module):
+    """State-dict mirror of models/mobilenetv3.py (same module order)."""
+
+    def __init__(self, num_classes=2):
+        super().__init__()
+        from frp_tpu.models.mobilenetv3 import _HIDDEN, _LAST_CONV, _SPEC
+
+        self.spec = _SPEC
+        self.stem = torch.nn.Conv2d(3, 16, 3, 2, 1, bias=False)
+        self.stem_bn = torch.nn.BatchNorm2d(16)
+        blocks = []
+        cin = 16
+        for k, exp, cout, use_se, _hs, _s in _SPEC:
+            blocks.append(_MBV3Block(cin, k, exp, cout, use_se))
+            cin = cout
+        self.blocks = torch.nn.ModuleList(blocks)
+        self.last_conv = torch.nn.Conv2d(cin, _LAST_CONV, 1, bias=False)
+        self.last_bn = torch.nn.BatchNorm2d(_LAST_CONV)
+        self.fc1 = torch.nn.Linear(_LAST_CONV, _HIDDEN)
+        self.fc2 = torch.nn.Linear(_HIDDEN, num_classes)
+
+    def forward(self, x):
+        hsw = torch.nn.functional.hardswish
+        y = hsw(self.stem_bn(self.stem(x)))
+        cin = 16
+        for blk, (k, exp, cout, use_se, use_hs, stride) in zip(
+            self.blocks, self.spec
+        ):
+            act = hsw if use_hs else torch.relu
+            inp = y
+            if blk.expand is not None:
+                y = act(blk.expand_bn(blk.expand(y)))
+            # stride applied functionally so the mirror's dw module keeps
+            # torch's weight layout while matching our forward exactly
+            y = torch.nn.functional.conv2d(
+                y, blk.dw.weight, None, stride, k // 2, 1, blk.dw.in_channels)
+            y = act(blk.dw_bn(y))
+            if blk.se is not None:
+                y = blk.se(y)
+            y = blk.project_bn(blk.project(y))
+            if stride == 1 and cin == cout:
+                y = inp + y
+            cin = cout
+        y = hsw(self.last_bn(self.last_conv(y)))
+        y = y.mean((2, 3))
+        y = hsw(self.fc1(y))
+        return self.fc2(y)
+
+
+def test_real_torch_pth_state_dict_spoof(tmp_path):
+    """The reference's ACTUAL deepfake checkpoint flow (deepfake_utils.py:
+    91-105 loads a .pth state dict into MobileNetV3): a real torch-saved
+    state dict round-trips through import_pth_state_dict +
+    import_torch_weights and our forward matches the torch module."""
+    from frp_tpu.models.mobilenetv3 import (
+        init_mobilenetv3_small,
+        mobilenetv3_forward,
+    )
+    from frp_tpu.models.params import import_pth_state_dict, import_torch_weights
+
+    rng = np.random.default_rng(6)
+    net = _MobileNetV3Small().eval()
+    _realistic_stats(net, rng)
+    path = str(tmp_path / "deepfake_mobilenet.pth")
+    torch.save(net.state_dict(), path)
+
+    state = import_pth_state_dict(path)
+    assert state is not None and len(state) > 100
+    target = init_mobilenetv3_small(13)
+    copied = import_torch_weights(target, state)
+    assert copied > 150
+
+    x = rng.normal(0, 1, (2, 224, 224, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    fnn.set_padding_mode("torch")
+    try:
+        got = np.asarray(mobilenetv3_forward(target, x))
+    finally:
+        fnn.set_padding_mode("same")
+    assert got.shape == ref.shape == (2, 2)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
