@@ -277,11 +277,16 @@ class HTTPServer:
             # (3.12 has no Server.close_clients), and abandoned handler
             # tasks — websocket send loops park on queue.get forever —
             # turn into "coroutine ignored" unraisable warnings at loop
-            # shutdown. Cancel and await them so teardown is clean.
-            for task in list(self._conn_tasks):
-                task.cancel()
-            if self._conn_tasks:
-                await asyncio.gather(*self._conn_tasks, return_exceptions=True)
+            # shutdown. Cancel and await until the set DRAINS: a handler
+            # accepted in the same tick as stop() registers itself only on
+            # its first step, so one cancellation sweep can miss it.
+            for _ in range(8):
+                tasks = list(self._conn_tasks)
+                if not tasks:
+                    break
+                for task in tasks:
+                    task.cancel()
+                await asyncio.gather(*tasks, return_exceptions=True)
             await self._server.wait_closed()
             self._server = None
 

@@ -226,8 +226,14 @@ class SocketIOServer:
             for task in (sender, pinger):
                 try:
                     await task
-                except (asyncio.CancelledError, Exception):
-                    pass
+                except asyncio.CancelledError:
+                    if not task.cancelled():
+                        raise  # WE were cancelled while awaiting, propagate
+                except Exception:
+                    # a genuine sender/pinger crash must stay visible (it
+                    # was previously surfaced by the task-exception logger)
+                    logger.exception("socket.io %s task crashed",
+                                     "send" if task is sender else "ping")
             async with self._lock:
                 self._clients.pop(sid, None)
             logger.info("socket.io client disconnected: %s", sid)

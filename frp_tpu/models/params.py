@@ -459,10 +459,12 @@ def units_from_onnx_nodes(nodes: list, inits: dict) -> list:
             pending_matmul = None
             if (op == "Add" and len(ins) == 2
                     and out_name in ins
-                    and any(i in inits for i in ins if i != out_name)):
+                    and any(resolve(i) is not None
+                            for i in ins if i != out_name)):
                 bias_name = next(i for i in ins if i != out_name)
                 units.append(("dense", {"w": w, "b": np.asarray(
-                    inits[bias_name], np.float32).reshape(-1)}, node.get("name", op)))
+                    resolve(bias_name), np.float32).reshape(-1)},
+                    node.get("name", op)))
                 continue
             units.append(("dense", {"w": w, "b": np.zeros(w.shape[1], np.float32)},
                           "matmul"))

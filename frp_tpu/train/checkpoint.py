@@ -67,6 +67,24 @@ def load_checkpoint(path: str, like: dict | None = None) -> dict | None:
     if os.path.exists(npz) and like is not None:
         with np.load(npz, allow_pickle=False) as data:
             leaves = [data[f"leaf_{i}"] for i in range(len(data.files))]
-        treedef = jax.tree_util.tree_structure(jax.device_get(like))
+        host_like = jax.device_get(like)
+        like_leaves, treedef = jax.tree_util.tree_flatten(host_like)
+        if len(leaves) != len(like_leaves):
+            logger.warning(
+                "checkpoint %s has %d leaves but the target state has %d "
+                "(different config?); refusing to restore",
+                npz, len(leaves), len(like_leaves))
+            return None
+        for i, (a, b) in enumerate(zip(leaves, like_leaves)):
+            if np.shape(a) != np.shape(b):
+                # restoring by index with mismatched shapes would load a
+                # checkpoint from a different run config (e.g. another
+                # --identities count) and silently corrupt training — the
+                # padded-class one_hot masks the error instead of raising
+                logger.warning(
+                    "checkpoint %s leaf %d shape %s != target %s "
+                    "(different config?); refusing to restore",
+                    npz, i, np.shape(a), np.shape(b))
+                return None
         return jax.tree_util.tree_unflatten(treedef, leaves)
     return None
