@@ -64,19 +64,22 @@ def _watchdog(interval: float = 60.0) -> None:
 
 # BENCH_DEPTH/GROUP/WINDOW/WINDOWS env overrides exist for the CPU
 # self-test (tools/bench_selftest.py) — production values are the defaults
-DEPTH = int(os.getenv("BENCH_DEPTH", "48"))  # submissions in flight (sweep: benchmarks/
-GROUP = int(os.getenv("BENCH_GROUP", "24"))  # profile_pipeline_sweep.py — shrinking the wire moved
-#                    the optimum twice: delta transfer took (6, 3) to
-#                    (24, 12) = 23.2 ms/batch, and the 128-byte delta
-#                    blocks (1.9x fewer bytes again) to (48, 24) =
-#                    15.2-16.8 ms/batch measured ((64, 32) ties, (96, 48)
-#                    regresses). Trade: ~0.8 s pipeline latency at depth
-#                    48 — the scan loop's detection-to-alert latency uses
-#                    the blocking single-batch path, unaffected.
+DEPTH = int(os.getenv("BENCH_DEPTH", "24"))  # submissions in flight (sweep: benchmarks/
+GROUP = int(os.getenv("BENCH_GROUP", "12"))  # profile_pipeline_sweep.py — shrinking the wire/host
+#                    cost moved the optimum three times: delta transfer
+#                    took (6, 3) to (24, 12), 128-byte blocks to (48, 24),
+#                    and the round-4 host levers (banded letterbox +
+#                    hinted encode, ~5x cheaper producer) back to
+#                    (24, 12) = 14.7 ms/batch vs 22.4 at (48, 24)
+#                    (re-swept on chip 2026-08-18; (32, 16) within noise,
+#                    (12, 6) and (48, 24) clearly worse). Trade: ~0.4 s
+#                    pipeline latency at depth 24 — the scan loop's
+#                    detection-to-alert latency uses the blocking
+#                    single-batch path, unaffected.
 WINDOW = int(os.getenv("BENCH_WINDOW", "96"))  # timed batches per window — large relative to DEPTH so
 #                    the measurement reflects sustained steady state (the
 #                    timer now starts BEFORE the prefill, so all counted
-#                    work is inside the window); 96 = 2x depth, an exact
+#                    work is inside the window); 96 = 4x depth, an exact
 #                    multiple of GROUP
 DELTA_BLOCK = int(os.getenv("FRP_DELTA_BLOCK",
                             os.getenv("BENCH_DELTA_BLOCK", "128")))
@@ -270,32 +273,38 @@ def main():
     import jax as _jax
 
     frames_dev = eng._put_frames(np.ascontiguousarray(batch))
-    o, _ = eng._run_stages(frames_dev, cfg.face_tolerance, fmt)
+    o, _ = eng._run_stages(frames_dev, cfg.face_tolerance, fmt, packed=True)
     _jax.block_until_ready(o)
     kdev = 20
     t0 = time.perf_counter()
     for _ in range(kdev):
-        o, _ = eng._run_stages(frames_dev, cfg.face_tolerance, fmt)
+        o, _ = eng._run_stages(frames_dev, cfg.face_tolerance, fmt, packed=True)
     _jax.block_until_ready(o)
     device_s = (time.perf_counter() - t0) / kdev
 
     # producer-side cost accounting (the round-4 host levers' measured win:
     # banded letterbox + hinted encode; reported as host_producer_ms)
     prod_stat = {"s": 0.0, "n": 0}
+    xfer_stat = {"s": 0.0, "n": 0}
 
     def measure(n: int) -> float:
-        """Seconds per batch, pipelined; a producer thread advances scene
-        motion and preps + delta-encodes the next batch (cv2 releases the
-        GIL) while the device works — same structure as the serving camera
-        loop. Delta payloads are stateful (each encodes against the last),
-        so the producer never drops one; each window starts with a fresh
-        keyframe via enc.reset()."""
+        """Seconds per batch, pipelined through THREE host stages — prep
+        (scene motion + banded letterbox + delta encode), transfer
+        (engine.put_payload: the ~7.7 ms mostly-GIL-free h2d socket wait,
+        benchmarks/gil_profile.json), submit (main thread) — same structure
+        as the serving camera loop plus the transfer stage. Keeping the
+        payload upload off the submit thread lets it overlap prep CPU and
+        dispatch instead of serializing with them on the one-core host.
+        Delta payloads are stateful (each encodes against the last), so no
+        stage ever drops one; each window starts with a fresh keyframe via
+        enc.reset()."""
         import queue
         import threading
 
         if use_delta:
             enc.reset()
         q: queue.Queue = queue.Queue(maxsize=2)
+        q2: queue.Queue = queue.Queue(maxsize=2)
         stop = threading.Event()
 
         def producer():
@@ -311,6 +320,28 @@ def main():
                     except queue.Full:
                         continue
 
+        def transfer():
+            # payload h2d upload stage: put_payload pushes the bytes through
+            # the relay here, so the submit thread dispatches against
+            # already-device-resident arrays. Order is preserved (one queue
+            # in, one out) — delta payloads must arrive in encode order.
+            while not stop.is_set():
+                try:
+                    kind, payload, shipped, raw_bytes = q.get(timeout=0.5)
+                except queue.Empty:
+                    continue
+                t0x = time.perf_counter()
+                if kind == "enc":
+                    payload = eng.put_payload(payload)
+                xfer_stat["s"] += time.perf_counter() - t0x
+                xfer_stat["n"] += 1
+                while not stop.is_set():
+                    try:
+                        q2.put((kind, payload, shipped, raw_bytes), timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+
         def submit_item(item):
             kind, payload, shipped, raw_bytes = item
             wire["shipped"] += shipped
@@ -322,7 +353,9 @@ def main():
             return eng.submit(frames_b, fmt=f)
 
         t = threading.Thread(target=producer, daemon=True)
+        tx = threading.Thread(target=transfer, daemon=True)
         t.start()
+        tx.start()
         try:
             # timer starts BEFORE the prefill: every counted batch's host
             # prep/encode AND device work falls inside the timed region
@@ -331,11 +364,11 @@ def main():
             # faces/s by tens of percent when the producer is the
             # bottleneck)
             t0 = time.perf_counter()
-            handles = [submit_item(q.get()) for _ in range(DEPTH)]
+            handles = [submit_item(q2.get()) for _ in range(DEPTH)]
             done = 0
             while done < n:
                 for _ in range(GROUP):
-                    handles.append(submit_item(q.get()))
+                    handles.append(submit_item(q2.get()))
                 eng.fetch_many(handles[:GROUP])
                 del handles[:GROUP]
                 done += GROUP
@@ -351,6 +384,7 @@ def main():
             # frames that were never submitted and chain the next window's
             # deltas against them
             t.join(timeout=5.0)
+            tx.join(timeout=5.0)
 
     # the serving runtime's relay has bistable per-process dispatch cost;
     # best window reports the achievable steady state, median the typical one
@@ -437,6 +471,11 @@ def main():
                     # hinted delta encode — the round-4 host levers)
                     "host_producer_ms_per_batch": round(
                         prod_stat["s"] / max(prod_stat["n"], 1) * 1000, 2
+                    ),
+                    # payload h2d upload (put_payload on the transfer
+                    # thread — mostly GIL-free socket wait; gil_profile.json)
+                    "host_transfer_ms_per_batch": round(
+                        xfer_stat["s"] / max(xfer_stat["n"], 1) * 1000, 2
                     ),
                     # embed-stage valid-slot compaction provenance (the
                     # device-compute lever, VERDICT r3 #3)

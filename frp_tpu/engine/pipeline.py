@@ -526,6 +526,26 @@ def build_stages(
             [c.astype(jnp.float32) for c in cols], axis=-1
         )
 
+    def delta_ingest_stage(prev_img, idx, blocks):
+        """Fused delta-reconstruct + I420->RGB ingest: returns (new resident
+        I420 batch, ingested RGB frames). One dispatch instead of two — the
+        serving relay's channel is sequential across all traffic, so every
+        dispatch saved is ~1.1-1.4 ms/batch off the serving floor
+        (benchmarks/serving_chain_profile.json: fusing the two CHEAP pairs
+        cut the realistic loop 13.8 -> 11.3 ms/batch, while big-program
+        fusions — detect+crop, front/back — regressed on program size)."""
+        new_prev = delta_stage(prev_img, idx, blocks)
+        return new_prev, ingest_stage(new_prev)
+
+    def match_pack_stage(dets, crop_out, emb_out, gallery, gallery_valid, tol):
+        """Fused gallery match + result packing (the packed serving path's
+        tail): same dispatch-count rationale as delta_ingest_stage."""
+        m = match_stage(
+            emb_out["embeddings_flat"], dets["valid"], gallery, gallery_valid,
+            tol,
+        )
+        return pack_stage(dets, crop_out, emb_out, m)
+
     return {
         "delta": jax.jit(delta_stage),
         "ingest": jax.jit(ingest_stage),
@@ -534,6 +554,8 @@ def build_stages(
         "embed": jax.jit(embed_stage),
         "match": jax.jit(match_stage),
         "pack": jax.jit(pack_stage),
+        "delta_ingest": jax.jit(delta_ingest_stage),
+        "match_pack": jax.jit(match_pack_stage),
     }
 
 
@@ -840,14 +862,18 @@ class RecognitionEngine:
             dets["valid"],
             self.distance_scale,
         )
+        if packed:
+            # one [B, M, 22] array -> a batch fetch costs exactly ONE host
+            # sync through the relay (see pack_stage docstring); match+pack
+            # ride ONE fused dispatch (see match_pack_stage: the relay
+            # channel charges per dispatch)
+            return self._stages["match_pack"](
+                dets, cropped, emb, gal, gal_valid, float(tolerance)
+            ), gal_names
         matched = self._stages["match"](
             emb["embeddings_flat"], dets["valid"], gal, gal_valid,
             float(tolerance),  # python float: traced weak scalar, no eager op
         )
-        if packed:
-            # one [B, M, 22] array -> a batch fetch costs exactly ONE host
-            # sync through the relay (see pack_stage docstring)
-            return self._stages["pack"](dets, cropped, emb, matched), gal_names
         out = {
             "boxes": dets["boxes"],
             "scores": dets["scores"],
@@ -999,16 +1025,21 @@ class RecognitionEngine:
             else None
         )
         if enc[0] == "raw":
-            # COPY, not ascontiguousarray: the result is retained as
-            # _delta_prev, and jax.device_put on the CPU backend ALIASES
-            # numpy memory — callers with persistent batch buffers
-            # (batching.build_batch_i420_cached, the bench producer) mutate
-            # them after submit, which would silently corrupt the resident
-            # keyframe every delta reconstructs against. Keyframes are rare;
-            # the copy is ~2.8 MB.
-            frames_dev = self._put_frames(
-                np.array(enc[1], dtype=np.uint8, copy=True)
-            )
+            if isinstance(enc[1], jax.Array):
+                # pre-transferred by put_payload (a caller's transfer
+                # thread); device arrays are immutable, no copy concern
+                frames_dev = enc[1]
+            else:
+                # COPY, not ascontiguousarray: the result is retained as
+                # _delta_prev, and jax.device_put on the CPU backend ALIASES
+                # numpy memory — callers with persistent batch buffers
+                # (batching.build_batch_i420_cached, the bench producer)
+                # mutate them after submit, which would silently corrupt the
+                # resident keyframe every delta reconstructs against.
+                # Keyframes are rare; the copy is ~2.8 MB.
+                frames_dev = self._put_frames(
+                    np.array(enc[1], dtype=np.uint8, copy=True)
+                )
             self.delta_stats["keyframes"] += 1
         else:
             _, idx, blocks = enc
@@ -1035,10 +1066,29 @@ class RecognitionEngine:
                     )
             if self.mesh is not None:
                 sh = NamedSharding(self.mesh, P("data"))
-                idx = jax.device_put(np.ascontiguousarray(idx), sh)
-                blocks = jax.device_put(np.ascontiguousarray(blocks), sh)
-            frames_dev = self._stages["delta"](self._delta_prev, idx, blocks)
+                # jax.Array inputs (put_payload) re-shard without a host
+                # round-trip; ascontiguousarray on one would FETCH it
+                if not isinstance(idx, jax.Array):
+                    idx = np.ascontiguousarray(idx)
+                if not isinstance(blocks, jax.Array):
+                    blocks = np.ascontiguousarray(blocks)
+                idx = jax.device_put(idx, sh)
+                blocks = jax.device_put(blocks, sh)
+            # fused reconstruct + ingest: one dispatch returns BOTH the new
+            # resident I420 batch and the ingested RGB frames (the relay
+            # channel charges per dispatch; see delta_ingest_stage)
+            new_prev, rgb_dev = self._stages["delta_ingest"](
+                self._delta_prev, idx, blocks
+            )
             self.delta_stats["deltas"] += 1
+            self._delta_prev = new_prev
+            if tag is not None:
+                self._delta_src = tag
+            b = int(rgb_dev.shape[0])
+            # frames are already ingested RGB — fmt "rgb" skips the ingest
+            # stage in _run_stages
+            out, gal_names = self._run_stages(rgb_dev, tolerance, "rgb", packed)
+            return out, b, packed, gal_names, time.perf_counter()
         self._delta_prev = frames_dev
         if tag is not None:
             self._delta_src = tag
@@ -1050,6 +1100,45 @@ class RecognitionEngine:
         b = int(frames_dev.shape[0])
         out, gal_names = self._run_stages(frames_dev, tolerance, "yuv420", packed)
         return out, b, packed, gal_names, time.perf_counter()
+
+    def put_payload(self, enc):
+        """Pre-transfer a DeltaEncoder payload's arrays to device, preserving
+        the (enc_id, seq) tag. Returns a payload submit_encoded accepts.
+
+        Why: through the serving relay the h2d upload of a delta payload
+        costs ~7.7 ms at ~47 MB/s and runs synchronously inside the jit
+        dispatch — on the main submit thread it serializes with dispatch and
+        producer work (benchmarks/gil_profile.json). Calling this from a
+        dedicated transfer thread moves that mostly-GIL-free socket wait off
+        the submit path so it overlaps host prep + dispatch (bench.py's
+        3-stage producer). Order still matters: payloads must reach
+        submit_encoded in encode order (the seq guard enforces it)."""
+        from frp_tpu.engine.batching import DeltaPayload
+
+        tag = (
+            (enc.enc_id, enc.seq)
+            if hasattr(enc, "enc_id") and hasattr(enc, "seq")
+            else None
+        )
+        if enc[0] == "raw":
+            if isinstance(enc[1], jax.Array):
+                return enc
+            # same copy contract as submit_encoded's raw path (the array is
+            # retained as the resident keyframe; CPU-backend device_put
+            # aliases numpy memory)
+            data = ("raw", self._put_frames(
+                np.array(enc[1], dtype=np.uint8, copy=True)))
+        else:
+            _, idx, blocks = enc
+            if self.mesh is not None:
+                sh = NamedSharding(self.mesh, P("data"))
+                idx = jax.device_put(np.ascontiguousarray(idx), sh)
+                blocks = jax.device_put(np.ascontiguousarray(blocks), sh)
+            else:
+                idx = jax.device_put(np.ascontiguousarray(idx))
+                blocks = jax.device_put(np.ascontiguousarray(blocks))
+            data = ("delta", idx, blocks)
+        return DeltaPayload(data, *tag) if tag is not None else data
 
     def precompile_delta_rungs(self, block: int | None = None) -> int:
         """Compile the delta-reconstruction stage at every DeltaEncoder

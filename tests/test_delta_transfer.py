@@ -199,6 +199,46 @@ def test_engine_rejects_dropped_payload(engine):
     engine.fetch(engine.submit_encoded(enc.encode(seq[2])))
 
 
+def test_put_payload_pretransfer_equals_direct(engine):
+    """put_payload (the bench transfer thread's pre-upload of payload arrays,
+    benchmarks/gil_profile.json) must be behavior-transparent: raw and delta
+    payloads pre-transferred to device produce identical results to numpy
+    payloads, the (enc_id, seq) tag survives so the desync guard still
+    bites, and the raw path still copies (no aliasing of a reused buffer)."""
+    import jax
+
+    seq = _batches(3)
+    enc_pre = DeltaEncoder(block_bytes=128)
+    enc_ref = DeltaEncoder(block_bytes=128)
+    ref_engine_out = []
+    for batch in seq:
+        ref_engine_out.append(engine.fetch(
+            engine.submit_encoded(enc_ref.encode(batch))))
+    for t, batch in enumerate(seq):
+        p = engine.put_payload(enc_pre.encode(batch))
+        if t == 0:
+            assert p[0] == "raw" and isinstance(p[1], jax.Array)
+        else:
+            assert p[0] == "delta"
+            assert isinstance(p[1], jax.Array) and isinstance(p[2], jax.Array)
+        assert (p.enc_id, p.seq) == (enc_pre._enc_id, enc_pre._seq)
+        got = engine.fetch(engine.submit_encoded(p))
+        ref = ref_engine_out[t]
+        np.testing.assert_array_equal(got["valid"], ref["valid"])
+        np.testing.assert_allclose(got["boxes"], ref["boxes"], atol=1e-3)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(engine._delta_prev)), seq[-1])
+    # seq guard still enforced across pre-transferred payloads: encode one,
+    # drop it, pre-transfer the next -> desync must raise
+    dropped = enc_pre.encode(seq[0])
+    assert dropped[0] == "delta"
+    stale = engine.put_payload(enc_pre.encode(seq[1]))
+    with pytest.raises(RuntimeError, match="desync"):
+        engine.submit_encoded(stale)
+    enc_pre.reset()
+    engine.fetch(engine.submit_encoded(enc_pre.encode(seq[1])))
+
+
 def test_precompile_delta_rungs(engine):
     """All four ladder rungs compile as byte-exact no-ops against the
     resident batch (the serving warmup path, advisor r3)."""
