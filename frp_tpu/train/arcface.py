@@ -58,11 +58,13 @@ def arcface_logits(
     target = jnp.cos(theta + margin)
     # easy-margin guard: past theta = pi - m, cos(theta+m) INCREASES with
     # theta and the gradient would push hard samples further away; fall back
-    # to the standard linear penalty there (cos - m*sin(m))
-    import math
-
-    guard = cos > math.cos(math.pi - margin)
-    target = jnp.where(guard, target, cos - margin * math.sin(margin))
+    # to the standard linear penalty there (cos - m*sin(m)). jnp (not
+    # math.*) so margin may be a TRACED scalar — warmup schedules pass a
+    # per-step margin without recompiling (deep backbones diverge if the
+    # full 0.5 margin lands on random embeddings; see pretrain_embedder
+    # --margin-warmup)
+    guard = cos > jnp.cos(jnp.pi - margin)
+    target = jnp.where(guard, target, cos - margin * jnp.sin(margin))
     out = scale * (onehot * target + (1.0 - onehot) * cos)
     if num_real_classes is not None and num_real_classes < w.shape[1]:
         col = jnp.arange(w.shape[1])
@@ -144,7 +146,6 @@ def _apply_bn_updates(backbone: dict, stats: dict) -> dict:
 def make_train_step(
     tx,
     mesh: Mesh | None = None,
-    margin: float = 0.5,
     scale: float = 64.0,
     compute_dtype: str = "bfloat16",
     num_real_classes: int | None = None,
@@ -155,7 +156,7 @@ def make_train_step(
     classifier's optimizer trace, which shards WITH the classifier)."""
     _init, backbone_forward = backbone_family(arch)
 
-    def loss_fn(params, images, labels):
+    def loss_fn(params, images, labels, margin_t):
         # uint8 batches normalize ON DEVICE: the host->device link is the
         # training bottleneck exactly as in serving (CLAUDE.md gotcha 8b) —
         # shipping uint8 instead of f32 cuts the per-step upload 4x
@@ -167,17 +168,19 @@ def make_train_step(
             params["backbone"], images.astype(jnp.dtype(compute_dtype)), train=True
         )
         logits = arcface_logits(
-            emb, params["classifier"], labels, margin, scale,
+            emb, params["classifier"], labels, margin_t, scale,
             num_real_classes=num_real_classes,
         )
         loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
         acc = jnp.mean((jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32))
         return loss, (acc, bn_stats)
 
-    def step(state, images, labels):
+    def step(state, images, labels, margin_t):
+        # margin_t: traced f32 scalar (weak-typed python float — distinct
+        # values do NOT recompile), so warmup schedules are free
         params = state["params"]
         (loss, (acc, bn_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, images, labels
+            params, images, labels, margin_t
         )
         updates, new_opt = tx.update(grads, state["opt_state"], params)
         new_params = optax.apply_updates(params, updates)
@@ -225,7 +228,7 @@ def make_train_step(
         }
 
     def make(state_proto):
-        in_sh = (state_shardings(state_proto), data, data)
+        in_sh = (state_shardings(state_proto), data, data, repl)
         out_sh = (state_shardings(state_proto), repl)
         return jax.jit(
             step, in_shardings=in_sh, out_shardings=out_sh, donate_argnums=(0,)
@@ -251,8 +254,10 @@ class ArcFaceTrainer:
         learning_rate: float = 0.1,
         compute_dtype: str = "bfloat16",
         arch: str = "mobilefacenet",
+        margin: float = 0.5,
     ):
         self.mesh = mesh
+        self.margin = float(margin)  # default; train_step(margin=) overrides
         self.num_classes = num_classes
         self.arch = arch
         # the classifier's class axis must divide the mesh 'model' axis —
@@ -309,19 +314,26 @@ class ArcFaceTrainer:
         return jax.device_put(images, data), jax.device_put(labels, data)
 
     def train_step(
-        self, images: np.ndarray, labels: np.ndarray, sync: bool = True
+        self, images: np.ndarray, labels: np.ndarray, sync: bool = True,
+        margin: float | None = None,
     ) -> dict | None:
         """images [B, 112, 112, 3]: float (-1..1 normalized) or uint8 (0..255,
         normalized on device — 4x less host->device traffic); labels [B] int.
 
         sync=False dispatches without fetching metrics (each fetch costs a
         ~29 ms relay sync); call flush_metrics() to drain them in ONE fetch.
+        margin overrides the trainer default for THIS step (traced scalar, no
+        recompile) — warmup schedules ramp it from 0 so deep backbones don't
+        diverge on random embeddings.
         """
         arr = np.asarray(images)
         if arr.dtype != np.uint8:
             arr = np.asarray(arr, np.float32)
         images, labels = self._place_batch(arr, np.asarray(labels, np.int32))
-        self.state, metrics = self._step(self.state, images, labels)
+        m_t = np.float32(self.margin if margin is None else margin)
+        if self.mesh is not None:
+            m_t = jax.device_put(m_t, NamedSharding(self.mesh, P()))
+        self.state, metrics = self._step(self.state, images, labels, m_t)
         if not sync:
             self._pending.append(metrics)
             return None
