@@ -33,6 +33,48 @@ def test_arcface_logits_margin_semantics():
     assert np.all(np.abs(with_margin) <= 64.0 + 1e-3)
 
 
+def test_arcface_margin_traced_scalar():
+    """The margin rides the jitted step as a TRACED scalar (warmup schedules
+    pass a different value every step): arcface_logits under jit with a
+    traced margin must (a) trace without error — the easy-margin guard is
+    jnp, not math.* — and (b) match the eager python-float result exactly,
+    including margin 0.0 == plain scaled softmax logits on the true class."""
+    rng = np.random.default_rng(1)
+    emb = rng.normal(size=(4, 16)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    w = rng.normal(size=(16, 8)).astype(np.float32)
+    labels = jnp.asarray([0, 1, 2, 3])
+
+    jitted = jax.jit(
+        lambda m: arcface_logits(jnp.asarray(emb), jnp.asarray(w), labels, m)
+    )
+    for m in (0.0, 0.17, 0.5):
+        eager = np.asarray(
+            arcface_logits(jnp.asarray(emb), jnp.asarray(w), labels, margin=m)
+        )
+        np.testing.assert_allclose(np.asarray(jitted(m)), eager, rtol=1e-5)
+    # m=0: the margined true-class logit degenerates to the plain cos logit
+    zero = np.asarray(jitted(0.0))
+    plain = np.asarray(
+        arcface_logits(jnp.asarray(emb), jnp.asarray(w), labels, margin=0.0)
+    )
+    np.testing.assert_allclose(zero, plain, rtol=1e-6)
+
+
+def test_train_step_margin_override_changes_loss_only_via_margin():
+    """train_step(margin=) feeds the schedule through without recompiling:
+    two steps from identical state with different margins produce different
+    losses (the margin is live), and a margin-0 step's loss is below the
+    margin-0.5 step's from the same state (the penalty only ever adds)."""
+    rng = np.random.default_rng(2)
+    images, labels = _toy_batch(rng)
+    t1 = ArcFaceTrainer(num_classes=8, learning_rate=0.05, seed=3)
+    t2 = ArcFaceTrainer(num_classes=8, learning_rate=0.05, seed=3)
+    m1 = t1.train_step(images, labels, margin=0.0)
+    m2 = t2.train_step(images, labels, margin=0.5)
+    assert m1["loss"] < m2["loss"]
+
+
 def _toy_batch(rng, b=8, classes=8):
     images = rng.normal(0, 0.5, size=(b, 112, 112, 3)).astype(np.float32)
     labels = rng.integers(0, classes, size=(b,)).astype(np.int32)
