@@ -61,11 +61,19 @@ def sample_pose(rng, tier: int):
 def _pick_tier(rng, difficulty):
     """None -> tier-0-compatible frontal render (no pose machinery at all,
     byte-identical to the round-2 renderer); int -> that tier; "mix" ->
-    sampled from TIER_MIX."""
+    sampled from TIER_MIX; a sequence of floats -> sampled from that custom
+    tier distribution (hard-biased fine-tunes: pretrain_embedder
+    --difficulty 0.15,0.25,0.45,0.15)."""
     if difficulty is None:
         return None
     if difficulty == "mix":
         return int(rng.choice(len(TIER_MIX), p=TIER_MIX))
+    if isinstance(difficulty, (tuple, list, np.ndarray)):
+        p = np.asarray(difficulty, dtype=np.float64)
+        assert p.shape == (len(TIER_MIX),) and abs(p.sum() - 1.0) < 1e-6, (
+            f"custom tier mix must be {len(TIER_MIX)} probabilities summing "
+            f"to 1, got {difficulty!r}")
+        return int(rng.choice(len(p), p=p))
     return int(difficulty)
 
 

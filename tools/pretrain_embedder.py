@@ -34,6 +34,11 @@ def main():
     p.add_argument("--save-every", type=int, default=0,
                    help="also save --out every N steps (long CPU runs: a "
                         "killed process keeps its progress)")
+    p.add_argument("--difficulty", default="mix",
+                   help='tier sampling for training crops: "mix" (TIER_MIX), '
+                        'a tier int, or a comma list of per-tier '
+                        'probabilities (hard-biased fine-tune: '
+                        '"0.15,0.25,0.45,0.15")')
     p.add_argument("--margin", type=float, default=0.5)
     p.add_argument("--margin-warmup", type=int, default=0,
                    help="ramp the ArcFace margin linearly 0 -> --margin over "
@@ -65,6 +70,11 @@ def main():
         num_classes=args.identities, seed=0, learning_rate=args.lr,
         arch=args.arch, margin=args.margin,
     )
+    difficulty = args.difficulty
+    if isinstance(difficulty, str) and "," in difficulty:
+        difficulty = tuple(float(x) for x in difficulty.split(","))
+    elif isinstance(difficulty, str) and difficulty != "mix":
+        difficulty = int(difficulty)
     resumed_step = 0
     if args.resume:
         import jax as _jax
@@ -100,7 +110,8 @@ def main():
         crops = np.stack(
             [
                 jitter_crop(
-                    make_identity_crop(identities[l], rng, difficulty="mix"), rng
+                    make_identity_crop(identities[l], rng, difficulty=difficulty),
+                    rng,
                 )
                 for l in labels
             ]
