@@ -291,6 +291,70 @@ def make_identity_crop(
     return apply_photometric(canvas, rng, tier)
 
 
+def make_serving_crop(
+    identity: dict, rng, size: int = 112, difficulty=None,
+    lm_noise_px: float = 2.2,
+) -> np.ndarray:
+    """A 112x112 training crop that matches the SERVING distribution instead
+    of the pristine 112-render distribution: the face is rendered at scene
+    scale (170-240 px, as 1080p surveillance frames carry), the tier's
+    photometric nuisance (backlight gradient, motion blur) is applied at
+    that scale, the canvas is decimated by the serving letterbox ratio
+    (1080p -> det 640 = 1/3, mixed area/linear like the detector's
+    augmentation), and the crop is the GT-landmark similarity warp with
+    detector-grade landmark jitter (~2.2 px at det scale; the measured
+    serving mean is 6.65 px at 640 for the whole 5-point set —
+    benchmarks/e2e_gap_profile.json).
+
+    Why: tier-2 e2e TPR trails crop TPR by ~0.14 and the gap diagnostic
+    attributes it to scene-scale photometrics the 112-render crops never
+    exhibit (tools/diagnose_e2e_gap.py). Training on this distribution
+    teaches the invariance where serving actually operates. Requires cv2
+    for the warp; falls back to make_identity_crop without it."""
+    try:
+        import cv2
+    except ImportError:
+        return make_identity_crop(identity, rng, size=size, difficulty=difficulty)
+    from frp_tpu.ops.align import ARCFACE_TEMPLATE_112
+
+    tier = _pick_tier(rng, difficulty)
+    fsize = float(rng.uniform(170, 240))
+    canvas_hw = int(fsize * float(rng.uniform(1.5, 1.9)))
+    canvas = rng.integers(20, 110, (canvas_hw, canvas_hw, 3), dtype=np.uint8)
+    kw = {}
+    if tier is not None:
+        occ = TIERS[tier]["occ"]
+        kw = dict(
+            pose=sample_pose(rng, tier),
+            occlusion=occ if (occ and rng.random() < 0.5) else 0.0,
+        )
+    _box, lm10 = render_face(
+        canvas,
+        canvas_hw / 2 + float(rng.uniform(-8, 8)),
+        canvas_hw / 2 + float(rng.uniform(-8, 8)),
+        fsize, rng, identity, **kw,
+    )
+    if tier is not None:
+        canvas = apply_photometric(canvas, rng, tier)
+    # serving letterbox decimation: 1080p -> det 640 is a uniform 1/3
+    s = 1.0 / 3.0
+    dec = int(round(canvas_hw * s))
+    canvas = _resize_bilinear(canvas, dec, linear=bool(rng.random() < 0.5))
+    lm = np.asarray(lm10, np.float32).reshape(5, 2) * (dec / canvas_hw)
+    lm = lm + rng.normal(0.0, lm_noise_px, size=lm.shape).astype(np.float32)
+    # host similarity warp (same LSQ as ops.align.similarity_transform)
+    dst = np.asarray(ARCFACE_TEMPLATE_112, np.float32) * (size / 112.0)
+    mu_s, mu_d = lm.mean(0), dst.mean(0)
+    sc, dc = lm - mu_s, dst - mu_d
+    var_s = max(float((sc * sc).sum()), 1e-12)
+    a = float((sc * dc).sum()) / var_s
+    b = float((sc[:, 0] * dc[:, 1] - sc[:, 1] * dc[:, 0]).sum()) / var_s
+    rot = np.array([[a, -b], [b, a]], np.float32)
+    t = mu_d - rot @ mu_s
+    m = np.concatenate([rot, t[:, None]], axis=1)
+    return cv2.warpAffine(canvas, m, (size, size), flags=cv2.INTER_LINEAR)
+
+
 def make_scene(size: int, rng, max_faces: int = 3, difficulty=None,
                portrait: bool = False):
     """One training scene. Returns (image [S,S,3] uint8, boxes [G,4] norm,

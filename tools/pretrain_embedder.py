@@ -39,6 +39,12 @@ def main():
                         'a tier int, or a comma list of per-tier '
                         'probabilities (hard-biased fine-tune: '
                         '"0.15,0.25,0.45,0.15")')
+    p.add_argument("--serving-frac", type=float, default=0.0,
+                   help="fraction of training crops drawn from the "
+                        "serving-matched distribution (scene-scale render + "
+                        "photometric + 1/3 decimation + GT-landmark warp "
+                        "with detector-grade jitter; synthetic."
+                        "make_serving_crop) instead of pristine 112 renders")
     p.add_argument("--margin", type=float, default=0.5)
     p.add_argument("--margin-warmup", type=int, default=0,
                    help="ramp the ArcFace margin linearly 0 -> --margin over "
@@ -63,7 +69,11 @@ def main():
     from frp_tpu.models.params import save_params
     from frp_tpu.ops.image import normalize_face
     from frp_tpu.train.arcface import ArcFaceTrainer
-    from frp_tpu.train.synthetic import make_identity, make_identity_crop
+    from frp_tpu.train.synthetic import (
+        make_identity,
+        make_identity_crop,
+        make_serving_crop,
+    )
 
     identities = [make_identity(s) for s in range(args.identities)]
     trainer = ArcFaceTrainer(
@@ -107,15 +117,18 @@ def main():
         # detector-aligned warps of ~56-90 px faces, not pristine renders —
         # train the invariance in (shrinks same-identity distance tails
         # measured end-to-end; see BASELINE.md parity section)
-        crops = np.stack(
-            [
-                jitter_crop(
-                    make_identity_crop(identities[l], rng, difficulty=difficulty),
-                    rng,
+        def sample_crop(l):
+            if args.serving_frac and rng.random() < args.serving_frac:
+                # already carries serving-grade alignment jitter internally
+                return make_serving_crop(
+                    identities[l], rng, difficulty=difficulty
                 )
-                for l in labels
-            ]
-        ).astype(np.float32)
+            return jitter_crop(
+                make_identity_crop(identities[l], rng, difficulty=difficulty),
+                rng,
+            )
+
+        crops = np.stack([sample_crop(l) for l in labels]).astype(np.float32)
         images = (crops - 127.5) / 128.0
         # warmup counts from the restored step so resumes don't re-warm
         # (resumed_step tracked on host — a per-step device_get of the step
