@@ -627,10 +627,16 @@ class RecognitionEngine:
         mesh=None,
         seed: int = 0,
         with_spoof: bool = True,
+        allow_stale_calibration: bool = False,
     ):
         self.cfg = cfg or get_config()
         self.mesh = mesh
         self.with_spoof = with_spoof
+        # tools/calibrate_embedder.py measures RAW distances (the scale is
+        # divided back out), so it may build an engine while the shipped
+        # calibration is stale — that is the very state it exists to fix.
+        # Serving keeps the default: stale calibration refuses to start.
+        self._allow_stale_calibration = allow_stale_calibration
         self.preferred_fmt = "yuv420"  # halves host->device frame bytes
         # device-resident params: a numpy pytree passed through jit would be
         # re-uploaded leaf-by-leaf on EVERY dispatch (measured ~5 ms/call on
@@ -710,9 +716,41 @@ class RecognitionEngine:
         for name in names:
             try:
                 with open(os.path.join(wd, name)) as f:
-                    return float(json.load(f)["distance_scale"])
+                    cal = json.load(f)
+                scale = float(cal["distance_scale"])
             except (OSError, KeyError, ValueError, TypeError):
                 continue
+            # stale-calibration guard (ADVICE r4 high): the scale is keyed
+            # to the exact weights it was measured on — round 4 committed a
+            # retrained npz under the old calibration and every distance
+            # band silently drifted. Fail loudly instead.
+            for key, path in (("weights_sha256", emb_path),
+                              ("detector_sha256",
+                               self.weights_loaded.get("detector"))):
+                expect = cal.get(key)
+                if not (expect and path):
+                    continue
+                from frp_tpu.utils.fingerprint import weights_fingerprint
+
+                got = weights_fingerprint(path)
+                if got != expect:
+                    if getattr(self, "_allow_stale_calibration", False):
+                        logger.warning(
+                            "%s fingerprint mismatch (%s); running "
+                            "UNCALIBRATED (scale 1.0) — re-measurement mode",
+                            name, key,
+                        )
+                        return 1.0
+                    raise RuntimeError(
+                        f"{name} was calibrated for {key.split('_')[0]} "
+                        f"weights sha256={expect[:12]}… but {path} has "
+                        f"sha256={got[:12]}…: the distance scale does not "
+                        "correspond to these weights. Re-run "
+                        f"tools/calibrate_embedder.py --arch {arch} (and "
+                        f"tools/tiered_eval.py --arch {arch}) and commit "
+                        "weights + artifacts together."
+                    )
+            return scale
         if arch != "mobilefacenet":
             logger.warning(
                 "no calibration_%s.json beside %s: distances are on the raw "

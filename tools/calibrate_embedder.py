@@ -65,9 +65,12 @@ def main():
     # warp -> embed, exactly the serving path. Crop-level numbers are also
     # reported but the shipped scale comes from the end-to-end populations
     # (crop-level calibration measured ~2x optimistic: alignment noise).
+    # allow_stale_calibration: this tool measures RAW distances and exists
+    # precisely to replace a stale scale — it must be able to build an
+    # engine the serving path would (correctly) refuse to start
     eng = RecognitionEngine(load_config(
         det_size=640, max_faces_per_frame=16, embedder_arch=args.arch,
-    ))
+    ), allow_stale_calibration=True)
     # calibrate on the widened "mix" domain (synthetic.TIER_MIX) — the scale
     # must center EER for the traffic the platform actually serves, easy and
     # hard tiers together (tools/tiered_eval.py then reports per-tier ROC)
@@ -97,9 +100,20 @@ def main():
 
     from frp_tpu.engine.batching import _resize_interp
 
+    # fingerprint the weights this scale was measured on — the engine
+    # refuses to apply a calibration whose sha256 does not match the loaded
+    # embedder file (ADVICE r4: round 4 shipped retrained weights under the
+    # previous weights' calibration and every distance band drifted)
+    from frp_tpu.utils.fingerprint import weights_fingerprint
+
+    emb_file = eng.weights_loaded.get("embedder")
+    det_file = eng.weights_loaded.get("detector")
     payload = {
         "distance_scale": round(scale, 6),
         "arch": args.arch,
+        "weights_file": os.path.basename(emb_file) if emb_file else None,
+        "weights_sha256": weights_fingerprint(emb_file) if emb_file else None,
+        "detector_sha256": weights_fingerprint(det_file) if det_file else None,
         # provenance: numbers depend on backend numerics + decimation kernel
         "backend": jax.default_backend(),
         "resize_interp": _resize_interp(),

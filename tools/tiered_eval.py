@@ -64,12 +64,22 @@ def main():
 
     from frp_tpu.engine.batching import _resize_interp
 
+    from frp_tpu.utils.fingerprint import weights_fingerprint
+
+    emb_file = eng.weights_loaded.get("embedder")
     out: dict = {"seed": SEED, "identities": args.identities,
                  "variants": args.variants, "arch": args.arch,
                  # provenance: the numbers depend on the backend's numerics
-                 # and the serving decimation kernel in effect
+                 # and the serving decimation kernel in effect — and on the
+                 # exact weights (sha256 ties this artifact to the npz the
+                 # way calibration_{arch}.json is tied; ADVICE r4)
                  "backend": jax.default_backend(),
                  "resize_interp": _resize_interp(),
+                 "weights_file": os.path.basename(emb_file) if emb_file else None,
+                 "weights_sha256": weights_fingerprint(emb_file) if emb_file else None,
+                 "detector_sha256": (weights_fingerprint(
+                     eng.weights_loaded["detector"])
+                     if eng.weights_loaded.get("detector") else None),
                  "tiers": {}}
     for tier in (0, 1, 2, 3):
         scenes, slabels = build_scene_set(
