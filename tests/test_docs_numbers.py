@@ -78,3 +78,25 @@ def test_baseline_calibration_quotes_match_artifact():
     assert expected in text, (
         "BASELINE.md calibration quote is stale vs weights/calibration.json; "
         f"expected: {expected}")
+
+
+def test_baseline_iresnet18_table_matches_artifact():
+    """The MFN -> ir18 comparison table (BASELINE.md 'Hard-tier capacity
+    path') quotes tiered_eval_iresnet18.json; it went stale once when a
+    round-end snapshot committed mid-training weights (ADVICE r4)."""
+    path = os.path.join(ROOT, "weights", "tiered_eval_iresnet18.json")
+    if not os.path.exists(path):
+        pytest.skip("no iresnet18 eval artifact")
+    with open(path) as f:
+        tiers = json.load(f)["tiers"]
+    with open(os.path.join(ROOT, "BASELINE.md")) as f:
+        text = f.read()
+    for tier in ("0", "1", "2"):
+        t = tiers[tier]
+        for token, what in [
+            (f"**{t['e2e']['tpr@0.6']:.3f}**", "e2e TPR@0.6"),
+            (f"{t['e2e']['fpr@0.6']:.3f}", "e2e FPR@0.6"),
+        ]:
+            assert token in text, (
+                f"BASELINE.md iresnet18 tier-{tier} {what} is stale vs "
+                f"weights/tiered_eval_iresnet18.json; expected {token}")
