@@ -82,6 +82,7 @@ def test_multibox_loss_prefers_correct_predictions(rng):
     assert float(bad["loss"]) > float(good["loss"]) + 1.0
 
 
+@pytest.mark.slow  # >=15 s measured; see pytest.ini
 def test_detector_overfits_fixed_batch():
     trainer = DetectorTrainer(det_size=128, seed=0, learning_rate=1e-3,
                               compute_dtype="float32")

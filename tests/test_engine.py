@@ -250,6 +250,7 @@ def test_active_rows_transfer_equivalence(engine):
             assert np.allclose(fa["box"], fb["box"], atol=1.0)
 
 
+@pytest.mark.slow  # >=15 s measured; see pytest.ini
 def test_deepfake_classify_frames_i420_path(engine, monkeypatch):
     """DeepfakeService.classify_frames rides the active-rows I420 transfer
     when the engine prefers yuv420. Active-rows vs full-square i420 must be
@@ -538,6 +539,7 @@ def test_embed_compaction_equivalence(monkeypatch):
         assert np.all(out_c["embeddings_flat"].reshape(b, m, -1)[inv] == 0)
 
 
+@pytest.mark.slow  # >=15 s measured; see pytest.ini
 def test_embed_compaction_real_net_integration(monkeypatch):
     """One real-net case (MobileFaceNet + spoof, single compact rung via
     FRP_EMBED_RUNGS) proving the production embed stage takes the compact

@@ -47,6 +47,7 @@ def _closeup(seed: int, flat_bg: bool, size: int = 480) -> np.ndarray:
     return img
 
 
+@pytest.mark.slow  # >=15 s measured; see pytest.ini
 def test_closeup_portrait_detects_exactly_one(engine):
     counts = [
         len(engine.encode_image(_closeup(8600 + s, flat_bg=bool(s % 2))))

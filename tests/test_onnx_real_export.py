@@ -398,6 +398,7 @@ def _fresh_numpy_tree(init_fn, *args, **kw):
     return init_fn(*args, **kw)
 
 
+@pytest.mark.slow  # >=15 s measured; see pytest.ini
 def test_w600k_r50_style_export_matches_independent_torch_trace(tmp_path):
     """Folded iresnet50/512-d replica (the real w600k_r50 shape): import it,
     then check our JAX forward on the imported tree against an independent
@@ -565,6 +566,7 @@ def test_structure_mismatch_is_loud(tmp_path):
         import_onnx_graph(wrong, graph)
 
 
+@pytest.mark.slow  # >=15 s measured; see pytest.ini
 def test_engine_end_to_end_iresnet50_onnx(tmp_path):
     """embedder_arch=iresnet50 + a w600k-style embedder.onnx drop-in: the
     engine imports it and enroll->compare works end to end on CPU."""

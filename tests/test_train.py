@@ -61,6 +61,7 @@ def test_arcface_margin_traced_scalar():
     np.testing.assert_allclose(zero, plain, rtol=1e-6)
 
 
+@pytest.mark.slow  # >=15 s measured; see pytest.ini
 def test_train_step_margin_override_changes_loss_only_via_margin():
     """train_step(margin=) feeds the schedule through without recompiling:
     two steps from identical state with different margins produce different
@@ -81,6 +82,7 @@ def _toy_batch(rng, b=8, classes=8):
     return images, labels
 
 
+@pytest.mark.slow  # >=15 s measured; see pytest.ini
 def test_single_device_training_reduces_loss():
     trainer = ArcFaceTrainer(num_classes=8, learning_rate=0.05, seed=0)
     rng = np.random.default_rng(0)
@@ -90,6 +92,7 @@ def test_single_device_training_reduces_loss():
     assert trainer.history[-1]["step"] == 5
 
 
+@pytest.mark.slow  # >=15 s measured; see pytest.ini
 def test_sharded_training_on_mesh():
     mesh = make_mesh(n_data=4, n_model=2)
     assert mesh.devices.size == 8
@@ -106,6 +109,7 @@ def test_sharded_training_on_mesh():
     assert "model" in str(spec)
 
 
+@pytest.mark.slow  # >=15 s measured; see pytest.ini
 def test_sharded_matches_single_device_step():
     """One dp x tp step computes the same update as single-device (f32 so
     bf16 partition-order noise doesn't mask real sharding bugs)."""
@@ -123,6 +127,7 @@ def test_sharded_matches_single_device_step():
     np.testing.assert_allclose(w1, w2, atol=1e-3)
 
 
+@pytest.mark.slow  # >=15 s measured; see pytest.ini
 def test_weights_delta_feeds_federated_contract():
     trainer = ArcFaceTrainer(num_classes=8, seed=0, learning_rate=0.05)
     rng = np.random.default_rng(0)
@@ -135,6 +140,7 @@ def test_weights_delta_feeds_federated_contract():
     assert any(v.any() for v in delta.values())  # training actually moved weights
 
 
+@pytest.mark.slow  # >=15 s measured; see pytest.ini
 def test_checkpoint_roundtrip(tmp_path):
     from frp_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 
@@ -186,6 +192,7 @@ def test_spoof_trainer_overfits_and_feeds_engine():
     assert (pred == labels).mean() >= 0.75
 
 
+@pytest.mark.slow  # >=15 s measured; see pytest.ini
 def test_train_step_uint8_and_deferred_metrics():
     """uint8 batches (device-side normalization) must train the same as the
     pre-normalized f32 path, and sync=False defers metric fetches until
@@ -215,6 +222,7 @@ def test_train_step_uint8_and_deferred_metrics():
     assert len(b.flush_metrics()) == 2 and len(b.history) == 3
 
 
+@pytest.mark.slow  # >=15 s measured; see pytest.ini
 def test_trainer_pads_classes_to_model_axis():
     """num_classes need not divide the mesh 'model' axis: the classifier is
     padded up and pad columns are masked out of the loss (previously a
@@ -276,6 +284,7 @@ def test_stale_orbax_dir_removed_on_npz_fallback(tmp_path, monkeypatch):
     assert int(np.asarray(restored["step"])) == 2, "stale checkpoint shadowed"
 
 
+@pytest.mark.slow  # >=15 s measured; see pytest.ini
 def test_sharded_training_at_100k_classes():
     """The design note says 'C can be millions' (train/arcface.py:5-7) —
     exercise the sharded classifier at production scale (VERDICT r2 #7):
@@ -319,6 +328,7 @@ def test_sharded_training_at_100k_classes():
                                rtol=2e-2)
 
 
+@pytest.mark.slow  # >=15 s measured; see pytest.ini
 def test_iresnet_arch_training_path():
     """The hard-tier capacity path (VERDICT r3 #4): ArcFace training must
     work for the iresnet family — train-mode BN stats flow back into the
