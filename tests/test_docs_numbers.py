@@ -100,3 +100,38 @@ def test_baseline_iresnet18_table_matches_artifact():
             assert token in text, (
                 f"BASELINE.md iresnet18 tier-{tier} {what} is stale vs "
                 f"weights/tiered_eval_iresnet18.json; expected {token}")
+
+
+def test_canonical_scale_story_sections_present():
+    """gallery_1m + train_mfu go canonical (VERDICT r4 #5): once measured,
+    they must stay in every canonical refresh (run_all.py writes them)."""
+    if not os.path.exists(CANONICAL):
+        pytest.skip("canonical.json not generated yet (TPU-only artifact)")
+    with open(CANONICAL) as f:
+        data = json.load(f)
+    if "gallery_1m" not in data.get("configs", {}):
+        pytest.skip("pre-round-5 canonical.json (no gallery_1m yet)")
+    g = data["configs"]["gallery_1m"]
+    assert g["identities"] == 1_000_000
+    assert g["faces_per_sec_best"] > 0
+    t = data["train_mfu"]
+    assert t["ms_per_step"] > 0 and t["imgs_per_sec"] > 0
+
+
+def test_baseline_spoof_quotes_match_artifact():
+    """The spoof head ships with measured operating characteristics
+    (VERDICT r4 weak #3): BASELINE.md quotes weights/spoof_eval.json."""
+    path = os.path.join(ROOT, "weights", "spoof_eval.json")
+    if not os.path.exists(path):
+        pytest.skip("spoof_eval.json not generated yet (TPU-only artifact)")
+    with open(path) as f:
+        art = json.load(f)
+    with open(os.path.join(ROOT, "BASELINE.md")) as f:
+        text = f.read()
+    for leg in ("crop_matched", "crop_attenuated_50pct", "e2e_frames"):
+        m = art[leg]
+        row = (f"| {m['auc']:.3f} | {m['eer']:.3f} | {m['tpr@0.5']:.3f} | "
+               f"{m['fpr@0.5']:.3f} | {m['accuracy@0.5']:.3f} |")
+        assert row in text, (
+            f"BASELINE.md spoof table row for {leg} is stale vs "
+            f"weights/spoof_eval.json; expected cells: {row}")
