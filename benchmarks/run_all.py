@@ -227,6 +227,88 @@ def main():
     except Exception as e:
         results.append(("4. co-batched spoof classification", f"skipped: {e}"))
 
+    # --- gallery at 1M identities (VERDICT r4 #5: the scale story goes
+    # canonical) — same 4x1080p serving protocol as config 3, with the
+    # gallery bulk-hydrated to 1,000,000 identities. The reference's numpy
+    # broadcast path (face_service.py:409-411) was measured at ~175 s/batch
+    # at this N; the device matmul + chunked exact top-k should hold the
+    # config-3 rate (BASELINE.md gallery table measured the match op flat
+    # to N=1M — this measures the full serving loop).
+    try:
+        n_target = 1_000_000
+        extra = n_target - len(eng.gallery)
+        mat = rng.standard_normal((extra, eng.cfg.embed_dim), dtype=np.float32)
+        t0 = time.perf_counter()
+        eng.gallery.load_matrix([f"id_{i}" for i in range(extra)], mat)
+        hydrate_s = time.perf_counter() - t0
+        eng.process_frames(b4, fmt="yuv420")  # compile at 1M capacity + upload
+        runs1m = [pipelined(eng, b4) for _ in range(3)]
+        per1m, per1m_med = min(runs1m), sorted(runs1m)[1]
+        results.append(
+            ("3b. same 4x1080p serving, 1M-identity gallery",
+             f"{faces4 / per1m:.0f} faces/s best / {faces4 / per1m_med:.0f} "
+             f"median ({per1m * 1000:.1f} ms/batch vs {per4 * 1000:.1f} at "
+             f"N=100; hydrate {hydrate_s:.1f}s host-side)")
+        )
+        canonical["configs"]["gallery_1m"] = {
+            "identities": n_target,
+            "faces_per_sec_best": round(faces4 / per1m, 0),
+            "faces_per_sec_median": round(faces4 / per1m_med, 0),
+            "ms_per_batch_best": round(per1m * 1000, 1),
+            "ms_per_batch_n100_best": round(per4 * 1000, 1),
+            "slowdown_vs_n100": round(per1m / per4, 2),
+        }
+        # restore the 100-identity gallery for any later sections
+        # (removal at 1M would be 1M swap-removes; rebuild instead)
+        eng.gallery.clear()
+        rng_g = np.random.default_rng(0)
+        for i in range(100):
+            eng.gallery.add(f"person_{i}", rng_g.normal(size=eng.cfg.embed_dim))
+    except Exception as e:
+        results.append(("3b. 1M-identity gallery", f"skipped: {e}"))
+
+    # --- ArcFace train-step MFU (VERDICT r4 #5: the one-off
+    # profile_train.py table becomes a dated, drift-protected canonical
+    # row) — batch 128, uint8 upload, metrics drained at the end ---
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from frp_tpu.train.arcface import ArcFaceTrainer
+        from frp_tpu.utils.flops import PEAK_FLOPS_BF16, compiled_flops, mfu
+
+        trainer = ArcFaceTrainer(num_classes=512)
+        tb = 128
+        rng3 = np.random.default_rng(2)
+        imgs = rng3.integers(0, 255, (tb, 112, 112, 3)).astype(np.uint8)
+        labels = rng3.integers(0, 512, (tb,)).astype(np.int32)
+        trainer.train_step(imgs, labels)  # compile
+        steps = 20
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            trainer.train_step(imgs, labels, sync=False)
+        trainer.flush_metrics()
+        jax.block_until_ready(trainer.state["params"])
+        step_s = (time.perf_counter() - t0) / steps
+        fl = compiled_flops(trainer._step, trainer.state, jnp.asarray(imgs),
+                            jnp.asarray(labels))
+        train_mfu = mfu(fl, step_s) if fl else None
+        results.append(
+            ("train: ArcFace MobileFaceNet step (batch 128, 512 ids)",
+             f"{step_s * 1000:.1f} ms/step, {tb / step_s:.0f} imgs/s, "
+             + (f"MFU {train_mfu:.3f} ({fl / 1e9:.1f} GFLOP/step vs "
+                f"{PEAK_FLOPS_BF16 / 1e12:.0f} TFLOP/s bf16 peak)"
+                if fl else "MFU n/a (no cost analysis)"))
+        )
+        canonical["train_mfu"] = {
+            "batch": tb, "ms_per_step": round(step_s * 1000, 1),
+            "imgs_per_sec": round(tb / step_s, 0),
+            "mfu": round(train_mfu, 4) if train_mfu else None,
+            "gflop_per_step": round(fl / 1e9, 1) if fl else None,
+        }
+    except Exception as e:
+        results.append(("train: ArcFace step MFU", f"skipped: {e}"))
+
     # --- config 5: FedAvg round ---
     from frp_tpu.ops.fedavg import fedavg_combine, resolve_weights
 
