@@ -57,7 +57,7 @@ def main():
 
         fl = compiled_flops(
             trainer._step, trainer.state, jnp.asarray(images_u8),
-            jnp.asarray(labels),
+            jnp.asarray(labels), float(trainer.margin),
         )
         m = mfu(fl, dt) if fl else 0.0
         print(

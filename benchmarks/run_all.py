@@ -290,8 +290,9 @@ def main():
         trainer.flush_metrics()
         jax.block_until_ready(trainer.state["params"])
         step_s = (time.perf_counter() - t0) / steps
+        # the step takes the round-4 traced margin scalar as arg 4
         fl = compiled_flops(trainer._step, trainer.state, jnp.asarray(imgs),
-                            jnp.asarray(labels))
+                            jnp.asarray(labels), float(trainer.margin))
         train_mfu = mfu(fl, step_s) if fl else None
         results.append(
             ("train: ArcFace MobileFaceNet step (batch 128, 512 ids)",
