@@ -259,8 +259,14 @@ class Router:
 
 
 class HTTPServer:
-    def __init__(self, router: Router, ws_handler=None):
+    def __init__(self, router: Router, ws_handler=None,
+                 allowed_origins: str = "*"):
         self.router = router
+        # FRONTEND_ORIGINS (reference main.py:44-59): "*" allows all;
+        # otherwise a comma list — the response echoes the request Origin
+        # only when allowlisted (plus Vary: Origin for caches)
+        self.allowed_origins = [o.strip() for o in allowed_origins.split(",")
+                                if o.strip()] or ["*"]
         self.ws_handler = ws_handler  # async def (request, reader, writer)
         self._server: asyncio.AbstractServer | None = None
         self._conn_tasks: set = set()  # live connection-handler tasks
@@ -440,11 +446,20 @@ class HTTPServer:
                 logger.error("handler error: %s", traceback.format_exc())
                 response = json_response({"detail": "Internal Server Error"}, 500)
 
+        if "*" in self.allowed_origins:
+            allow_origin = "*"
+        else:
+            origin = request.headers.get("origin", "")
+            allow_origin = origin if origin in self.allowed_origins else ""
         cors = {
-            "Access-Control-Allow-Origin": "*",
+            "Access-Control-Allow-Origin": allow_origin,
             "Access-Control-Allow-Methods": "GET, POST, PATCH, DELETE, OPTIONS",
             "Access-Control-Allow-Headers": "*",
         }
+        if allow_origin not in ("*", ""):
+            cors["Vary"] = "Origin"
+        if not allow_origin:
+            cors.pop("Access-Control-Allow-Origin")
         status_text = _STATUS_TEXT.get(response.status, "OK")
         if isinstance(response, StreamResponse):
             head = [f"HTTP/1.1 {response.status} {status_text}"]

@@ -126,7 +126,8 @@ async def serve(
     warmup: bool = True,
 ):
     router, sio, ctx = build_app(ctx)
-    server = HTTPServer(router, ws_handler=sio.handle_upgrade)
+    server = HTTPServer(router, ws_handler=sio.handle_upgrade,
+                        allowed_origins=ctx.cfg.frontend_origins)
     ctx.startup()
     if warmup:
         try:

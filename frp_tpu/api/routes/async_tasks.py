@@ -22,6 +22,10 @@ def register(router, ctx):
         upload = files.get("file") or files.get("image")
         if upload is None:
             raise HTTPError(422, "multipart field 'file' is required")
+        if len(upload.data) > ctx.cfg.async_max_upload_bytes:
+            # ASYNC_MAX_UPLOAD_BYTES (reference async_tasks.py upload cap)
+            raise HTTPError(413, "file too large for async search "
+                            f"(limit {ctx.cfg.async_max_upload_bytes} bytes)")
         tolerance = parse_float_param(
             fields.get("tolerance"), "tolerance", ctx.cfg.face_tolerance
         )

@@ -27,7 +27,7 @@ def register(router, ctx):
         ext_ok = any(upload.filename.lower().endswith(e) for e in VIDEO_EXT)
         if upload.content_type not in VIDEO_TYPES and not ext_ok:
             raise HTTPError(400, f"unsupported video type {upload.content_type}")
-        tmpdir = os.path.join(ctx.cfg.data_dir, "temp_uploads")
+        tmpdir = ctx.cfg.deepfake_uploads_path()  # DEEPFAKE_UPLOAD_DIR
         os.makedirs(tmpdir, exist_ok=True)
         fd, path = tempfile.mkstemp(dir=tmpdir, suffix=os.path.splitext(upload.filename)[1] or ".mp4")
 

@@ -190,7 +190,7 @@ def register(router, ctx):
         result["metadata"]["file_size_kb"] = round(upload.size / 1024, 2)
         if save_raw:
             # reference face.py:168-174: persist the raw upload
-            raw_dir = os.path.join(ctx.cfg.data_dir, "uploads")
+            raw_dir = ctx.cfg.uploads_path()  # UPLOAD_DIR/UPLOADS_DIR/FACE_UPLOAD_DIR
             os.makedirs(raw_dir, exist_ok=True)
             raw_path = os.path.join(raw_dir, safe_filename + ext)
             with open(raw_path, "wb") as f:

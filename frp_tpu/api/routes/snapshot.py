@@ -58,10 +58,16 @@ def register(router, ctx):
         if request.headers.get("if-none-match") == etag:
             return Response(b"", 304, "image/jpeg", {"ETag": etag})
 
-        headers = {"ETag": etag, "Cache-Control": "max-age=5"}
+        headers = {"ETag": etag,
+                   "Cache-Control": ctx.cfg.snapshot_cache_control}
         if request.query_bool("enhance"):
             async def enhance_task():
-                enhanced = await asyncio.to_thread(enhance_snapshot_bytes, data)
+                enhanced = await asyncio.to_thread(
+                    enhance_snapshot_bytes, data,
+                    upscale=ctx.cfg.enhancer_upscale,
+                    max_pixels=ctx.cfg.enhancer_max_pixels,
+                    sharpen=ctx.cfg.enhancer_sharpen,
+                    quality=ctx.cfg.enhancer_jpeg_quality)
                 if enhanced:
                     ctx.thumbnails.set(key, enhanced)
 

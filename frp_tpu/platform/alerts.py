@@ -48,6 +48,7 @@ class AlertService:
         sms_cooldown: float = 60.0,
         notify_workers: int = 4,
         email_retries: int = 2,
+        email_retry_base: float = 1.5,
     ):
         self.camera_metadata = camera_metadata if camera_metadata is not None else {}
         self._config_coll = config_collection
@@ -59,6 +60,7 @@ class AlertService:
         self.email_cooldown = email_cooldown
         self.sms_cooldown = sms_cooldown
         self.email_retries = email_retries
+        self.email_retry_base = email_retry_base
 
         # bounded: appended per alert forever in a 24/7 process
         self.alert_queue: deque = deque(maxlen=1000)
@@ -377,7 +379,7 @@ class AlertService:
         msg["Subject"] = f"[{alert['priority'].upper()}] Face alert: {alert['target']}"
         msg["From"] = cfg.get("sender_email", "")
         msg["To"] = ", ".join(cfg.get("recipients", []))
-        delay = 1.5
+        delay = self.email_retry_base  # ALERT_EMAIL_RETRY_BASE
         for attempt in range(self.email_retries + 1):
             try:
                 port = int(cfg.get("smtp_port", 587))

@@ -43,15 +43,45 @@ class AppContext:
         mesh=None,
     ):
         self.cfg = cfg or get_config()
-        setup_logger("frp", self.cfg.log_dir, self.cfg.log_json)
+        setup_logger(
+            "frp", self.cfg.log_dir, self.cfg.log_json,
+            level=self.cfg.log_level,           # LOG_LEVEL
+            max_bytes=self.cfg.log_max_bytes,   # LOG_MAX_BYTES
+            backup_count=self.cfg.log_backup_count,  # LOG_BACKUP_COUNT
+            app_log_file=self.cfg.app_log_file,      # APP_LOG_FILE
+        )
+        # subsystem log levels (reference *_LOG_LEVEL env names map onto
+        # the corresponding named loggers here)
+        import logging as _logging
+
+        from frp_tpu.utils.logger import set_audit_file, set_audit_sink
+
+        for name, lvl in (("frp.storage", self.cfg.db_log_level),
+                          ("frp.api.socketio", self.cfg.socketio_log_level),
+                          ("frp.api.http", self.cfg.access_log_level)):
+            if lvl:
+                _logging.getLogger(name).setLevel(
+                    getattr(_logging, lvl.upper(), _logging.INFO))
+        set_audit_file(self.cfg.audit_log_file)  # AUDIT_LOG_FILE
         os.makedirs(self.cfg.data_dir, exist_ok=True)
 
         # storage (never raises; embedded store by default)
         self.db, self.db_backend = connect(
-            self.cfg.mongo_uri, os.path.join(self.cfg.data_dir, "store")
+            self.cfg.mongo_uri, os.path.join(self.cfg.data_dir, "store"),
+            db_name=self.cfg.mongo_db_name,          # MONGO_DB_NAME
+            retries=self.cfg.mongo_connect_retries,  # MONGO_CONNECT_RETRIES
+            backoff=self.cfg.mongo_connect_backoff,  # MONGO_CONNECT_BACKOFF
         )
         ensure_indexes(self.db)
-        self.cipher = EmbeddingCipher(self.cfg.data_dir)
+        if self.cfg.audit_to_db:  # AUDIT_TO_DB: audit records also land in
+            audit_coll = self.db["audit"]  # the audit collection
+
+            set_audit_sink(lambda rec: audit_coll.insert_one(dict(rec)))
+        self.cipher = EmbeddingCipher(
+            self.cfg.data_dir,
+            key_path=self.cfg.encryption_key_file(),  # ENCRYPTION_KEY_PATH
+            disabled=self.cfg.disable_encryption,     # DISABLE_ENCRYPTION
+        )
 
         # engine (injectable for tests)
         if engine is None:
@@ -64,12 +94,19 @@ class AppContext:
         self.events = EventHub()
         self.cameras = CameraRegistry()
         self.cameras.init_cameras(camera_configs or DEFAULT_CAMERA_CONFIGS)
-        self.models = ModelManager(self.cfg.model_idle_unload_seconds)
+        self.models = ModelManager(
+            self.cfg.model_idle_unload_seconds,
+            max_memory_mb=self.cfg.model_max_memory_mb,  # MODEL_MAX_MEMORY_MB
+        )
         self.thumbnails = ThumbnailCache(
-            os.path.join(self.cfg.data_dir, "snapshots_cache"),
-            ttl=self.cfg.snapshot_ttl,
+            self.cfg.snapshots_path(),               # SNAPSHOT_DIR disk tier
+            mem_entries=self.cfg.thumb_mem_items,    # THUMB_CACHE_MEM_ITEMS
+            ttl=self.cfg.snapshot_ttl,               # THUMB_CACHE_MEM_TTL
             disk_quota_mb=self.cfg.snapshot_cache_mb,
             redis_url=self.cfg.redis_url,
+            redis_ttl=self.cfg.thumb_redis_ttl,      # THUMB_CACHE_REDIS_TTL
+            disk_quota_bytes=self.cfg.thumb_max_disk_bytes,  # THUMB_MAX_DISK_BYTES
+            cleanup_batch=self.cfg.thumb_disk_cleanup_batch,
         )
 
         # services
@@ -80,7 +117,7 @@ class AppContext:
             tolerance=self.cfg.face_tolerance,
             cache_ttl=self.cfg.encode_cache_ttl,
             cache_size=self.cfg.encode_cache_size,
-            backup_dir=os.path.join(self.cfg.data_dir, "backups"),
+            backup_dir=self.cfg.backups_path(),  # FACE_BACKUP_DIR
         )
         self.tracking = TrackingService(
             camera_metadata=self.cameras.metadata(),
@@ -94,7 +131,8 @@ class AppContext:
             log_alert_fn=make_log_alert(self.db, self.cfg.log_dir),
             event_hub=self.events,
             email_config={
-                "enabled": bool(self.cfg.smtp_host),
+                # EMAIL_ENABLED gate ANDed with configured credentials
+                "enabled": self.cfg.email_enabled and bool(self.cfg.smtp_host),
                 "smtp_server": self.cfg.smtp_host,
                 "smtp_port": self.cfg.smtp_port,
                 "sender_email": self.cfg.smtp_user,
@@ -102,7 +140,7 @@ class AppContext:
                 "recipients": [e for e in self.cfg.alert_email_to.split(",") if e],
             },
             sms_config={
-                "enabled": bool(self.cfg.twilio_sid),
+                "enabled": self.cfg.sms_enabled and bool(self.cfg.twilio_sid),
                 "api_key": self.cfg.twilio_sid,
                 "api_secret": self.cfg.twilio_token,
                 "sender_phone": self.cfg.twilio_from,
@@ -112,6 +150,8 @@ class AppContext:
             email_cooldown=self.cfg.email_cooldown,
             sms_cooldown=self.cfg.sms_cooldown,
             notify_workers=self.cfg.notify_workers,
+            email_retries=self.cfg.email_retries,        # ALERT_EMAIL_RETRIES
+            email_retry_base=self.cfg.email_retry_base,  # ALERT_EMAIL_RETRY_BASE
         )
         self.deepfake = DeepfakeService(
             engine,
@@ -119,12 +159,13 @@ class AppContext:
             max_frames=self.cfg.deepfake_max_frames,
             threshold=self.cfg.deepfake_threshold,
             cache_ttl=self.cfg.deepfake_cache_ttl,
+            logs_dir=self.cfg.deepfake_logs_path(),  # DEEPFAKE_LOGS_DIR
             weights_loaded=bool(
                 (getattr(engine, "weights_loaded", None) or {}).get("spoof")
             ),
         )
         self.federated = FederatedService(
-            weights_dir=os.path.join(self.cfg.data_dir, "fl_weights"),
+            weights_dir=self.cfg.fl_path(),  # FL_DIR
             min_clients=self.cfg.fl_min_clients,
             history_limit=self.cfg.fl_history_limit,
             mesh=mesh,
@@ -137,7 +178,13 @@ class AppContext:
             retention_seconds=self.cfg.job_retention,
         )
         self.health = HealthMonitor(
-            self.cameras, self.db["cameras"], self.cfg.camera_health_interval
+            self.cameras,
+            self.db[self.cfg.cameras_collection],  # CAMERAS_COLLECTION
+            self.cfg.camera_health_interval,
+            backoff_base=self.cfg.camera_backoff_base,    # CAMERA_BACKOFF_BASE
+            backoff_cap=self.cfg.camera_backoff_max,      # CAMERA_BACKOFF_MAX
+            request_timeout=self.cfg.health_request_timeout,
+            concurrency=self.cfg.health_concurrency,      # HEALTH_CONCURRENCY
         )
         from frp_tpu.utils.profiling import DeviceTracer, StageTimers
 

@@ -49,6 +49,7 @@ class DeepfakeService:
         threshold: float = 0.5,
         cache_ttl: float = 1800.0,
         weights_loaded: bool = False,
+        logs_dir: str = "",
     ):
         self.engine = engine
         self._coll = deepfake_collection
@@ -56,6 +57,9 @@ class DeepfakeService:
         self.threshold = threshold
         self.cache_ttl = cache_ttl
         self.weights_loaded = weights_loaded
+        # DEEPFAKE_LOGS_DIR (reference db.py:164,417): per-event JSON log
+        # beside the collection; "" disables
+        self.logs_dir = logs_dir
         self._cache: dict[str, tuple[float, dict]] = {}
         self.history: deque = deque(maxlen=1000)
         self._lock = threading.RLock()
@@ -243,6 +247,26 @@ class DeepfakeService:
                 self._coll.insert_one({**dict(result), **checked})
             except Exception:
                 logger.exception("deepfake log persistence failed (non-fatal)")
+        if self.logs_dir:
+            try:
+                import json as _json
+                import os as _os
+
+                _os.makedirs(self.logs_dir, exist_ok=True)
+                path = _os.path.join(self.logs_dir, "deepfake_events.json")
+                try:
+                    with open(path) as f:
+                        events = _json.load(f)
+                except (OSError, ValueError):
+                    events = []
+                events.append({k: result[k] for k in
+                               ("result", "confidence", "timestamp")})
+                tmp = f"{path}.{_os.getpid()}.tmp"
+                with open(tmp, "w") as f:
+                    _json.dump(events, f, default=str)
+                _os.replace(tmp, path)
+            except OSError:
+                logger.debug("deepfake event log write failed (non-fatal)")
         audit_event("deepfake_analysis", {"result": result_label, "frames": len(frames)})
         return result
 

@@ -19,10 +19,24 @@ BACKOFF_CAP = 3600.0
 
 
 class HealthMonitor:
-    def __init__(self, registry, cameras_collection=None, interval: float = 30.0):
+    def __init__(self, registry, cameras_collection=None, interval: float = 30.0,
+                 backoff_base: float = BACKOFF_BASE,
+                 backoff_cap: float = BACKOFF_CAP,
+                 request_timeout: float = 4.0,
+                 concurrency: int = 1):
         self.registry = registry
         self._coll = cameras_collection
         self.interval = interval
+        # CAMERA_BACKOFF_BASE / CAMERA_BACKOFF_MAX /
+        # CAMERA_HEALTH_REQUEST_TIMEOUT / HEALTH_CONCURRENCY (reference
+        # health_checks.py:29-35): request_timeout bounds one probe read
+        # (RTSP-backed sources can block); concurrency > 1 probes due
+        # cameras through a thread pool — one dead RTSP camera must not
+        # serialize the whole fleet probe behind its timeout
+        self.backoff_base = backoff_base
+        self.backoff_cap = backoff_cap
+        self.request_timeout = request_timeout
+        self.concurrency = max(1, int(concurrency))
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self._next_probe: dict[int, float] = {}
@@ -50,11 +64,33 @@ class HealthMonitor:
     def probe_all(self) -> dict:
         now = time.time()
         results = {}
+        due = []
         for cam in self.registry.all():
             if now < self._next_probe.get(cam.id, 0):
                 results[cam.id] = {"skipped": True, "healthy": cam.healthy}
-                continue
-            ok, _ = cam.read()
+            else:
+                due.append(cam)
+        reads: dict[int, bool] = {}
+        if len(due) > 1 and self.concurrency > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=min(self.concurrency, len(due)))
+            futs = {cam.id: pool.submit(cam.read) for cam in due}
+            for cid, fut in futs.items():
+                try:
+                    ok, _ = fut.result(timeout=self.request_timeout)
+                except Exception:
+                    ok = False
+                reads[cid] = bool(ok)
+            # don't block the loop on a wedged read past its timeout — the
+            # abandoned probe thread finishes (or not) on its own
+            pool.shutdown(wait=False)
+        else:
+            for cam in due:
+                ok, _ = cam.read()
+                reads[cam.id] = bool(ok)
+        for cam in due:
+            ok = reads.get(cam.id, False)
             self.probes += 1
             if ok:
                 self._next_probe[cam.id] = now + self.interval
@@ -64,8 +100,8 @@ class HealthMonitor:
                 # (one per scan tick on a dead camera), and 2**1024
                 # overflows the float multiply, killing the whole probe loop
                 delay = min(
-                    BACKOFF_CAP,
-                    BACKOFF_BASE * (2 ** min(cam.consecutive_failures, 16)),
+                    self.backoff_cap,
+                    self.backoff_base * (2 ** min(cam.consecutive_failures, 16)),
                 )
                 self._next_probe[cam.id] = now + delay
             results[cam.id] = {

@@ -371,12 +371,17 @@ class CameraRegistry:
 class ModelManager:
     """Lazy model loading with idle unload — reference ``state.py:135-262``."""
 
-    def __init__(self, idle_unload_seconds: float = 600.0):
+    def __init__(self, idle_unload_seconds: float = 600.0,
+                 max_memory_mb: float = 0.0):
         self._loaders: dict[str, Callable[[], Any]] = {}
         self._models: dict[str, Any] = {}
         self._last_used: dict[str, float] = {}
         self._lock = threading.RLock()
         self.idle_unload_seconds = idle_unload_seconds
+        # MODEL_MAX_MEMORY_MB (reference state.py:117-125, enforced at
+        # load): when process RSS exceeds the cap after a load, evict
+        # least-recently-used OTHER models. <=0 disables.
+        self.max_memory_mb = max_memory_mb
 
     def register_loader(self, name: str, loader: Callable[[], Any]):
         with self._lock:
@@ -394,7 +399,41 @@ class ModelManager:
         with self._lock:
             self._models[name] = model
             self._last_used[name] = time.time()
+            self._enforce_memory_cap(keep=name)
             return model
+
+    def _enforce_memory_cap(self, keep: str) -> list[str]:
+        """Evict LRU models (never ``keep``) while process RSS exceeds
+        max_memory_mb. Called under the lock."""
+        if self.max_memory_mb <= 0:
+            return []
+        evicted = []
+        while self._rss_mb() > self.max_memory_mb and len(self._models) > 1:
+            lru = min((n for n in self._models if n != keep),
+                      key=lambda n: self._last_used.get(n, 0), default=None)
+            if lru is None:
+                break
+            del self._models[lru]
+            self._last_used.pop(lru, None)
+            evicted.append(lru)
+        return evicted
+
+    @staticmethod
+    def _rss_mb() -> float:
+        # current (not peak) RSS — eviction must be able to lower it
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        return float(line.split()[1]) / 1024.0
+        except OSError:  # pragma: no cover - non-linux
+            pass
+        try:  # pragma: no cover - fallback
+            import psutil
+
+            return psutil.Process().memory_info().rss / (1024.0 * 1024.0)
+        except Exception:
+            return 0.0
 
     def unload_model(self, name: str) -> bool:
         with self._lock:

@@ -23,18 +23,22 @@ except ImportError:  # pragma: no cover
 
 
 class EmbeddingCipher:
-    def __init__(self, data_dir: str = "data", key: bytes | None = None):
+    def __init__(self, data_dir: str = "data", key: bytes | None = None,
+                 key_path: str = "", disabled: bool = False):
+        # key_path: ENCRYPTION_KEY_PATH override; disabled:
+        # DISABLE_ENCRYPTION (reference db.py:171-209) — embeddings are
+        # then stored with the explicit "plain:" marker, never silently
         self._fernet = None
-        if Fernet is None:
+        if Fernet is None or disabled:
             return
         if key is None:
-            key = self._load_or_create_key(data_dir)
+            key = self._load_or_create_key(data_dir, key_path)
         self._fernet = Fernet(key)
 
     @staticmethod
-    def _load_or_create_key(data_dir: str) -> bytes:
-        os.makedirs(data_dir, exist_ok=True)
-        path = os.path.join(data_dir, ".encryption_key")
+    def _load_or_create_key(data_dir: str, key_path: str = "") -> bytes:
+        path = key_path or os.path.join(data_dir, ".encryption_key")
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         if os.path.exists(path):
             with open(path, "rb") as f:
                 return f.read().strip()

@@ -340,16 +340,26 @@ class DocStore:
         return True
 
 
-def connect(mongo_uri: str = "", data_dir: str | None = None):
+def connect(mongo_uri: str = "", data_dir: str | None = None,
+            db_name: str = "", retries: int = 1, backoff: float = 2.0):
     """Return (db, backend_name): real Mongo when configured, embedded store
-    otherwise. Never raises at import time (fixing db.py:155)."""
-    if mongo_uri:
-        try:
-            import pymongo
+    otherwise. Never raises at import time (fixing db.py:155).
 
-            client = pymongo.MongoClient(mongo_uri, serverSelectionTimeoutMS=3000)
-            client.admin.command("ping")
-            return client.get_default_database("frp"), "mongodb"
-        except Exception:
-            pass
+    db_name / retries / backoff: MONGO_DB_NAME / MONGO_CONNECT_RETRIES /
+    MONGO_CONNECT_BACKOFF (reference db.py:84-124: ping + retries with
+    backoff*n sleep between attempts)."""
+    if mongo_uri:
+        import time as _time
+
+        for attempt in range(max(retries, 1)):
+            try:
+                import pymongo
+
+                client = pymongo.MongoClient(
+                    mongo_uri, serverSelectionTimeoutMS=3000)
+                client.admin.command("ping")
+                return client.get_default_database(db_name or "frp"), "mongodb"
+            except Exception:
+                if attempt + 1 < max(retries, 1):
+                    _time.sleep(backoff * (attempt + 1))
     return DocStore(data_dir), "embedded"

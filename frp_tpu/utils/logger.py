@@ -43,16 +43,22 @@ def setup_logger(
     name: str = "frp",
     log_dir: str = "logs",
     json_format: bool = False,
-    level: int = logging.INFO,
+    level: int | str = logging.INFO,
     _console_only: bool = False,
+    max_bytes: int = 10 * 1024 * 1024,
+    backup_count: int = 5,
+    app_log_file: str = "app.log",
 ) -> logging.Logger:
     """Idempotent for identical settings; a call with DIFFERENT settings
     reconfigures. (get_logger auto-configures console-only at import time —
     without the reconfigure path, Context's explicit setup_logger(log_dir,
     log_json) was a guaranteed no-op and user settings were ignored.)"""
+    if isinstance(level, str):  # LOG_LEVEL env ("INFO", "debug", ...)
+        level = getattr(logging, level.upper(), logging.INFO)
     with _lock:
         prev = _configured.get(name)
-        settings = (log_dir, json_format, level, _console_only)
+        settings = (log_dir, json_format, level, _console_only,
+                    max_bytes, backup_count, app_log_file)
         if prev is not None and prev[1] == settings:
             return prev[0]
         logger = logging.getLogger(name)
@@ -72,9 +78,9 @@ def setup_logger(
             try:
                 os.makedirs(log_dir, exist_ok=True)
                 fh = RotatingFileHandler(
-                    os.path.join(log_dir, "app.log"),
-                    maxBytes=10 * 1024 * 1024,
-                    backupCount=5,
+                    os.path.join(log_dir, app_log_file),  # APP_LOG_FILE
+                    maxBytes=max_bytes,        # LOG_MAX_BYTES
+                    backupCount=backup_count,  # LOG_BACKUP_COUNT
                 )
                 fh.setFormatter(fmt)
                 logger.addHandler(fh)
@@ -102,6 +108,21 @@ def get_logger(name: str) -> logging.Logger:
 # ---------------------------------------------------------------------------
 
 _audit_logger = None
+_audit_sink = None  # optional callable(record) — AUDIT_TO_DB wiring
+_audit_file = "audit.log"
+
+
+def set_audit_sink(sink) -> None:
+    """AUDIT_TO_DB (reference logger.py/db.py): also deliver every audit
+    record to a storage sink (e.g. the audit collection). None disables."""
+    global _audit_sink
+    _audit_sink = sink
+
+
+def set_audit_file(filename: str) -> None:
+    """AUDIT_LOG_FILE override; takes effect before the first audit_event."""
+    global _audit_file
+    _audit_file = filename or "audit.log"
 
 
 def _get_audit_logger(log_dir: str = "logs") -> logging.Logger:
@@ -114,7 +135,7 @@ def _get_audit_logger(log_dir: str = "logs") -> logging.Logger:
         logger.propagate = False
         try:
             os.makedirs(log_dir, exist_ok=True)
-            path = os.path.join(log_dir, "audit.log")
+            path = os.path.join(log_dir, _audit_file)
             fh = logging.FileHandler(path)
             fh.setFormatter(logging.Formatter("%(message)s"))
             logger.addHandler(fh)
@@ -148,6 +169,11 @@ def audit_event(event_type: str, payload: dict | None = None, log_dir: str = "lo
         "payload": redact_sensitive(payload or {}),
     }
     logger.info(json.dumps(record, default=str))
+    if _audit_sink is not None:
+        try:
+            _audit_sink(record)
+        except Exception:  # the sink must never break the audited operation
+            logging.getLogger("frp.audit").debug("audit sink failed")
     return record
 
 

@@ -26,11 +26,21 @@ class ThumbnailCache:
         ttl: float = 30.0,
         disk_quota_mb: int = 200,
         redis_url: str = "",
+        redis_ttl: float | None = None,
+        disk_quota_bytes: int = 0,
+        cleanup_batch: int = 0,
     ):
+        # redis_ttl: THUMB_CACHE_REDIS_TTL (defaults to the mem TTL);
+        # disk_quota_bytes: THUMB_MAX_DISK_BYTES (wins over the MB knob);
+        # cleanup_batch: THUMB_DISK_CLEANUP_BATCH — evict at least this many
+        # files once over quota (reference thumbnail_cache.py:198-237
+        # amortizes directory scans by deleting in batches)
         self._dir = disk_dir
         self._ttl = ttl
+        self._redis_ttl = ttl if redis_ttl is None else redis_ttl
         self._mem_entries = mem_entries
-        self._quota = disk_quota_mb * 1024 * 1024
+        self._quota = disk_quota_bytes or disk_quota_mb * 1024 * 1024
+        self._cleanup_batch = cleanup_batch
         self._mem: OrderedDict[str, tuple[float, bytes]] = OrderedDict()
         self._lock = threading.Lock()
         self._redis = None
@@ -104,7 +114,7 @@ class ThumbnailCache:
         self._mem_put(key, data)
         if self._redis is not None:
             try:
-                self._redis.setex("thumb:" + key, int(self._ttl), data)
+                self._redis.setex("thumb:" + key, int(self._redis_ttl), data)
             except Exception:
                 pass
         path = self._path(key)
@@ -147,13 +157,15 @@ class ThumbnailCache:
         if total <= self._quota:
             return
         entries.sort()  # oldest mtime first
+        removed = 0
         for _, size, path in entries:
             try:
                 os.remove(path)
                 total -= size
+                removed += 1
             except OSError:
                 pass
-            if total <= self._quota:
+            if total <= self._quota and removed >= self._cleanup_batch:
                 break
 
     def stats(self) -> dict:
