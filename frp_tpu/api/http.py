@@ -456,7 +456,10 @@ class HTTPServer:
             "Access-Control-Allow-Methods": "GET, POST, PATCH, DELETE, OPTIONS",
             "Access-Control-Allow-Headers": "*",
         }
-        if allow_origin not in ("*", ""):
+        if "*" not in self.allowed_origins:
+            # allowlist mode varies the response by Origin — including
+            # denials, or a shared cache could serve the ACAO-less variant
+            # to an allowlisted origin
             cors["Vary"] = "Origin"
         if not allow_origin:
             cors.pop("Access-Control-Allow-Origin")

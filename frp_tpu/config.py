@@ -164,7 +164,7 @@ class Config:
     app_log_file: str = "app.log"        # APP_LOG_FILE (relative to log_dir)
     audit_log_file: str = "audit.log"    # AUDIT_LOG_FILE (relative to log_dir)
     audit_to_db: bool = False            # AUDIT_TO_DB
-    db_log_level: str = "INFO"           # DB_LOG_LEVEL (frp.storage logger)
+    db_log_level: str = "INFO"           # DB_LOG_LEVEL (frp.platform.dbops logger)
     socketio_log_level: str = "WARNING"  # SOCKETIO_LOG_LEVEL / ENGINEIO_LOG_LEVEL
     access_log_level: str = "WARNING"    # UVICORN_ACCESS_LOG_LEVEL (frp.api.http)
     # directory layout ("" -> derived from data_dir/log_dir as before)

@@ -56,7 +56,7 @@ class AppContext:
 
         from frp_tpu.utils.logger import set_audit_file, set_audit_sink
 
-        for name, lvl in (("frp.storage", self.cfg.db_log_level),
+        for name, lvl in (("frp.platform.dbops", self.cfg.db_log_level),
                           ("frp.api.socketio", self.cfg.socketio_log_level),
                           ("frp.api.http", self.cfg.access_log_level)):
             if lvl:
@@ -77,6 +77,10 @@ class AppContext:
             audit_coll = self.db["audit"]  # the audit collection
 
             set_audit_sink(lambda rec: audit_coll.insert_one(dict(rec)))
+        else:
+            # a PREVIOUS context may have installed a sink into its (now
+            # stale) store — audit records must not keep flowing there
+            set_audit_sink(None)
         self.cipher = EmbeddingCipher(
             self.cfg.data_dir,
             key_path=self.cfg.encryption_key_file(),  # ENCRYPTION_KEY_PATH

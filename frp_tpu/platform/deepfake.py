@@ -254,18 +254,24 @@ class DeepfakeService:
 
                 _os.makedirs(self.logs_dir, exist_ok=True)
                 path = _os.path.join(self.logs_dir, "deepfake_events.json")
-                try:
-                    with open(path) as f:
-                        events = _json.load(f)
-                except (OSError, ValueError):
-                    events = []
-                events.append({k: result[k] for k in
-                               ("result", "confidence", "timestamp")})
-                tmp = f"{path}.{_os.getpid()}.tmp"
-                with open(tmp, "w") as f:
-                    _json.dump(events, f, default=str)
-                _os.replace(tmp, path)
-            except OSError:
+                with self._lock:  # one in-process writer at a time
+                    try:
+                        with open(path) as f:
+                            events = _json.load(f)
+                        if not isinstance(events, list):
+                            events = []  # foreign/hand-edited content
+                    except (OSError, ValueError):
+                        events = []
+                    # bounded like the in-memory history deque — this file
+                    # must not grow (and be rewritten) without limit
+                    events = events[-(self.history.maxlen - 1):]
+                    events.append({k: result[k] for k in
+                                   ("result", "confidence", "timestamp")})
+                    tmp = f"{path}.{_os.getpid()}.tmp"
+                    with open(tmp, "w") as f:
+                        _json.dump(events, f, default=str)
+                    _os.replace(tmp, path)
+            except Exception:  # the log must never fail the analysis
                 logger.debug("deepfake event log write failed (non-fatal)")
         audit_event("deepfake_analysis", {"result": result_label, "frames": len(frames)})
         return result

@@ -40,6 +40,11 @@ class HealthMonitor:
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self._next_probe: dict[int, float] = {}
+        # cam_id -> still-running probe thread: a wedged read() must not be
+        # issued a SECOND concurrent read (cv2.VideoCapture is not
+        # thread-safe), must not accumulate one leaked thread per tick, and
+        # must not block interpreter exit (daemon threads, no executor)
+        self._inflight: dict[int, threading.Thread] = {}
         self.probes = 0
 
     def start(self):
@@ -71,24 +76,45 @@ class HealthMonitor:
             else:
                 due.append(cam)
         reads: dict[int, bool] = {}
-        if len(due) > 1 and self.concurrency > 1:
-            from concurrent.futures import ThreadPoolExecutor
+        # drop finished leftovers; a camera whose PREVIOUS probe still hasn't
+        # returned is counted failed without spawning another read on the
+        # same (non-thread-safe) handle
+        self._inflight = {c: t for c, t in self._inflight.items() if t.is_alive()}
+        fresh = []
+        for cam in due:
+            if cam.id in self._inflight:
+                reads[cam.id] = False
+            else:
+                fresh.append(cam)
+        # probe in daemon-thread chunks of `concurrency`: every spawned
+        # probe gets the FULL request_timeout from its own start (a queued
+        # camera waits for the next chunk rather than falsely timing out
+        # behind a slow neighbor), and a wedged read is abandoned (daemon:
+        # never blocks interpreter exit)
+        for start in range(0, len(fresh), self.concurrency):
+            chunk = fresh[start : start + self.concurrency]
+            probes = []
+            for cam in chunk:
+                holder: dict = {}
 
-            pool = ThreadPoolExecutor(max_workers=min(self.concurrency, len(due)))
-            futs = {cam.id: pool.submit(cam.read) for cam in due}
-            for cid, fut in futs.items():
-                try:
-                    ok, _ = fut.result(timeout=self.request_timeout)
-                except Exception:
-                    ok = False
-                reads[cid] = bool(ok)
-            # don't block the loop on a wedged read past its timeout — the
-            # abandoned probe thread finishes (or not) on its own
-            pool.shutdown(wait=False)
-        else:
-            for cam in due:
-                ok, _ = cam.read()
-                reads[cam.id] = bool(ok)
+                def run(cam=cam, holder=holder):
+                    try:
+                        holder["ok"] = bool(cam.read()[0])
+                    except Exception:
+                        holder["ok"] = False
+
+                t = threading.Thread(target=run, daemon=True,
+                                     name=f"health-probe-{cam.id}")
+                t.start()
+                probes.append((cam, t, holder, time.monotonic()))
+            for cam, t, holder, t0 in probes:
+                t.join(timeout=max(
+                    0.0, self.request_timeout - (time.monotonic() - t0)))
+                if t.is_alive():  # wedged past its timeout: fail + remember
+                    self._inflight[cam.id] = t
+                    reads[cam.id] = False
+                else:
+                    reads[cam.id] = holder.get("ok", False)
         for cam in due:
             ok = reads.get(cam.id, False)
             self.probes += 1

@@ -403,20 +403,27 @@ class ModelManager:
             return model
 
     def _enforce_memory_cap(self, keep: str) -> list[str]:
-        """Evict LRU models (never ``keep``) while process RSS exceeds
-        max_memory_mb. Called under the lock."""
-        if self.max_memory_mb <= 0:
+        """Best-effort: when process RSS exceeds max_memory_mb after a
+        load, evict the LRU other model (at most one per load, + gc).
+        Called under the lock.
+
+        Deliberately NOT a loop-to-target: a JAX serving process's RSS
+        baseline (runtime arenas, compiled executables) can sit above the
+        cap for reasons unrelated to this manager, and dict eviction
+        cannot reliably lower RSS — looping would evict everything and
+        thrash reloads forever while recovering nothing."""
+        if self.max_memory_mb <= 0 or self._rss_mb() <= self.max_memory_mb:
             return []
-        evicted = []
-        while self._rss_mb() > self.max_memory_mb and len(self._models) > 1:
-            lru = min((n for n in self._models if n != keep),
-                      key=lambda n: self._last_used.get(n, 0), default=None)
-            if lru is None:
-                break
-            del self._models[lru]
-            self._last_used.pop(lru, None)
-            evicted.append(lru)
-        return evicted
+        lru = min((n for n in self._models if n != keep),
+                  key=lambda n: self._last_used.get(n, 0), default=None)
+        if lru is None:
+            return []
+        del self._models[lru]
+        self._last_used.pop(lru, None)
+        import gc
+
+        gc.collect()
+        return [lru]
 
     @staticmethod
     def _rss_mb() -> float:

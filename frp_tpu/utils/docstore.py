@@ -351,15 +351,23 @@ def connect(mongo_uri: str = "", data_dir: str | None = None,
     if mongo_uri:
         import time as _time
 
-        for attempt in range(max(retries, 1)):
+        try:
+            import pymongo  # outside the retry loop: an ImportError can
+        except ImportError:  # never succeed on retry — fall back instantly
+            pymongo = None
+        for attempt in range(max(retries, 1) if pymongo else 0):
+            client = None
             try:
-                import pymongo
-
                 client = pymongo.MongoClient(
                     mongo_uri, serverSelectionTimeoutMS=3000)
                 client.admin.command("ping")
                 return client.get_default_database(db_name or "frp"), "mongodb"
             except Exception:
+                if client is not None:
+                    try:
+                        client.close()
+                    except Exception:
+                        pass
                 if attempt + 1 < max(retries, 1):
                     _time.sleep(backoff * (attempt + 1))
     return DocStore(data_dir), "embedded"

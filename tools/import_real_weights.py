@@ -158,11 +158,12 @@ def main():
 
     # re-measure in subprocesses (they own the TPU one at a time)
     runs = []
+    py = sys.executable  # not "python": python3-only hosts, venvs
     if "embedder" in provided or "detector" in provided:
-        runs += [["python", "tools/calibrate_embedder.py", "--arch", args.arch],
-                 ["python", "tools/tiered_eval.py", "--arch", args.arch]]
+        runs += [[py, "tools/calibrate_embedder.py", "--arch", args.arch],
+                 [py, "tools/tiered_eval.py", "--arch", args.arch]]
     if "spoof" in provided:
-        runs.append(["python", "tools/eval_spoof.py"])
+        runs.append([py, "tools/eval_spoof.py"])
     for cmd in runs:
         print("running:", " ".join(cmd), flush=True)
         subprocess.run(cmd, cwd=REPO, check=True)
