@@ -480,3 +480,25 @@ def test_dashboard_served(app):
     status, body, resp = call(router, "GET", "/dashboard")
     assert status == 200 and resp.content_type.startswith("text/html")
     assert b"face-recognition-platform" in body and b"new_alert" in body
+
+
+def test_audit_sink_cleared_by_rebuilt_context(tmp_path):
+    """A context built WITHOUT audit_to_db must clear any DB audit sink a
+    previous context installed — audit records must not keep flowing into
+    the stale store (review fix: else-branch set_audit_sink(None))."""
+    from frp_tpu.utils.logger import audit_event
+
+    cfg1 = load_config(data_dir=str(tmp_path / "d1"),
+                       log_dir=str(tmp_path / "l1"), audit_to_db=True)
+    ctx1 = AppContext(cfg=cfg1, engine=FakeEngine(), camera_configs=[])
+    audit_event("probe_one", {}, log_dir=cfg1.log_dir)
+    n1 = ctx1.db["audit"].count_documents({})
+    assert n1 >= 1  # sink live: record landed in ctx1's store
+    ctx1.shutdown()
+
+    cfg2 = load_config(data_dir=str(tmp_path / "d2"),
+                       log_dir=str(tmp_path / "l2"), audit_to_db=False)
+    ctx2 = AppContext(cfg=cfg2, engine=FakeEngine(), camera_configs=[])
+    audit_event("probe_two", {}, log_dir=cfg2.log_dir)
+    assert ctx1.db["audit"].count_documents({}) == n1  # stale sink is gone
+    ctx2.shutdown()

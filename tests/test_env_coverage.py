@@ -188,3 +188,48 @@ def test_cors_origin_allowlist():
     assert srv.allowed_origins == ["http://a.example", "http://b.example"]
     srv_all = HTTPServer(Router())
     assert srv_all.allowed_origins == ["*"]
+
+
+def _dispatch_headers(allowed_origins: str, origin: str | None = None) -> dict:
+    """Run one request through HTTPServer._dispatch, return response headers."""
+    import asyncio
+
+    from frp_tpu.api.http import HTTPServer, Request, Router
+
+    srv = HTTPServer(Router(), allowed_origins=allowed_origins)
+    headers = {"origin": origin} if origin else {}
+    req = Request("GET", "/nope", {}, headers, b"")
+
+    class _W:
+        def __init__(self):
+            self.buf = b""
+
+        def write(self, b):
+            self.buf += b
+
+        async def drain(self):
+            pass
+
+    w = _W()
+    asyncio.run(srv._dispatch(req, w))
+    lines = w.buf.split(b"\r\n\r\n", 1)[0].decode().split("\r\n")[1:]
+    return {k.lower(): v for k, v in (ln.split(": ", 1) for ln in lines)}
+
+
+def test_cors_vary_on_all_allowlist_variants():
+    """Allowlist mode must send Vary: Origin on EVERY response variant —
+    allowed, denied, and no-Origin — or a shared cache keyed by URL alone
+    can serve the ACAO-less variant to an allowlisted browser (review fix)."""
+    h = _dispatch_headers("http://a.example", "http://a.example")
+    assert h["access-control-allow-origin"] == "http://a.example"
+    assert h.get("vary") == "Origin"
+    h = _dispatch_headers("http://a.example", "http://evil.example")
+    assert "access-control-allow-origin" not in h
+    assert h.get("vary") == "Origin"
+    h = _dispatch_headers("http://a.example")  # curl / CDN probe, no Origin
+    assert "access-control-allow-origin" not in h
+    assert h.get("vary") == "Origin"
+    # wildcard mode: one cacheable variant, no Vary needed
+    h = _dispatch_headers("*", "http://a.example")
+    assert h["access-control-allow-origin"] == "*"
+    assert "vary" not in h

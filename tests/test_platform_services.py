@@ -515,3 +515,95 @@ def test_deepfake_model_info_surfaces_measured_eval():
     # untrained service keeps the reference's honest note, no eval claimed
     untrained = DeepfakeService(engine=None, weights_loaded=False).model_info()
     assert "evaluation" not in untrained and untrained["note"]
+
+
+def test_health_wedged_probe_bounded_and_never_reprobed_concurrently():
+    """A probe that wedges past request_timeout must (a) not block probe_all
+    beyond the timeout, (b) be counted failed, and (c) NOT get a second
+    concurrent read() on the same non-thread-safe capture handle while the
+    first is still in flight (review fix: _inflight dedup)."""
+    import threading
+    import time as _time
+
+    from frp_tpu.platform.health import HealthMonitor
+
+    release = threading.Event()
+
+    class WedgedCam:
+        id, name, healthy, last_seen = 1, "wedged", False, None
+        consecutive_failures = 0
+
+        def __init__(self):
+            self.reads = 0
+
+        def read(self):
+            self.reads += 1
+            release.wait(30)
+            return False, None
+
+    class OkCam:
+        id, name, healthy, last_seen = 2, "ok", True, None
+        consecutive_failures = 0
+
+        def __init__(self):
+            self.reads = 0
+
+        def read(self):
+            self.reads += 1
+            return True, None
+
+    wedged, ok = WedgedCam(), OkCam()
+
+    class Reg:
+        def all(self):
+            return [wedged, ok]
+
+    mon = HealthMonitor(Reg(), None, interval=0.01,
+                        request_timeout=0.3, concurrency=2)
+    t0 = _time.monotonic()
+    mon.probe_all()
+    assert _time.monotonic() - t0 < 5.0  # bounded by timeout, not the wedge
+    assert wedged.reads == 1 and ok.reads == 1
+    # force both due again: the wedged camera's probe is still in flight and
+    # must be failed WITHOUT a second read; the healthy one probes normally
+    mon._next_probe[1] = 0
+    mon._next_probe[2] = 0
+    mon.probe_all()
+    assert wedged.reads == 1  # no concurrent re-probe on the wedged handle
+    assert ok.reads == 2
+    release.set()
+
+
+def test_health_queued_probes_get_full_timeout_each():
+    """With more due cameras than concurrency, queued cameras must get the
+    FULL request_timeout from their own start — the old pool path let slow
+    neighbors eat the shared deadline, failing healthy cameras (review
+    fix: chunked probing)."""
+    import time as _time
+
+    from frp_tpu.platform.health import HealthMonitor
+
+    class SlowCam:
+        healthy, last_seen, consecutive_failures = True, None, 0
+
+        def __init__(self, i):
+            self.id, self.name = i, f"c{i}"
+
+        def read(self):
+            _time.sleep(0.2)  # slow but well within its own timeout
+            return True, None
+
+    cams = [SlowCam(i) for i in (1, 2, 3)]
+
+    class Reg:
+        def all(self):
+            return cams
+
+    mon = HealthMonitor(Reg(), None, interval=100.0,
+                        request_timeout=0.5, concurrency=1)
+    now = _time.time()
+    mon.probe_all()
+    # success reschedules at now+interval; a false timeout would land on the
+    # (much shorter) failure backoff instead
+    for cam in cams:
+        assert mon._next_probe[cam.id] >= now + 99.0

@@ -175,3 +175,22 @@ def test_docstore_returns_deep_copies(tmp_path):
     got["nested"]["vals"].append(4)  # mutation of a returned doc
     again = coll.find_one({"target": "a"})
     assert again["nested"]["vals"] == [1, 2]
+
+
+def test_connect_missing_pymongo_falls_back_instantly(tmp_path):
+    """With MONGO_URI set but pymongo not importable, connect() must fall
+    back to the embedded store immediately — retrying an ImportError with
+    backoff sleeps burned seconds of startup for nothing (review fix)."""
+    import importlib.util
+    import time as _time
+
+    from frp_tpu.utils import docstore
+
+    if importlib.util.find_spec("pymongo") is not None:
+        pytest.skip("pymongo installed — ImportError path unreachable")
+    t0 = _time.monotonic()
+    db, kind = docstore.connect("mongodb://nope:27017", str(tmp_path),
+                                retries=3, backoff=2.0)
+    elapsed = _time.monotonic() - t0
+    assert kind == "embedded"
+    assert elapsed < 1.0  # no retry/backoff sleeps on ImportError

@@ -85,3 +85,29 @@ def test_cctv_sweep_tallies(video_path):
         assert tally["frames"] == 2
         assert tally["real"] + tally["fake"] + tally["no_faces"] == 2
     reg.close_all()
+
+
+def test_event_log_bounded_and_tolerant_of_foreign_content(video_path, tmp_path):
+    """The deepfake event-log file must not grow without bound (capped like
+    the in-memory history) and must survive non-list JSON content (review
+    fix: lock + bound + isinstance guard)."""
+    import json
+    import os
+
+    logs = str(tmp_path / "logs")
+    svc = _service(logs_dir=logs)
+    path = os.path.join(logs, "deepfake_events.json")
+    os.makedirs(logs, exist_ok=True)
+    with open(path, "w") as f:
+        f.write('{"foreign": true}')  # valid JSON, wrong shape
+    svc.process_video(video_path)
+    with open(path) as f:
+        events = json.load(f)
+    assert isinstance(events, list) and len(events) == 1
+    cap = svc.history.maxlen
+    with open(path, "w") as f:
+        json.dump(events * (cap + 50), f)
+    svc.process_video(video_path)
+    with open(path) as f:
+        events = json.load(f)
+    assert len(events) == cap  # bounded, newest entry appended
