@@ -49,6 +49,14 @@ class Config:
     min_face_quality: float = 50.0       # MIN_FACE_QUALITY upload gate (face.py:221-238)
     embed_dim: int = 128                 # EMBED_DIM — dlib-compatible 128-d default
     embedder_arch: str = "mobilefacenet"  # EMBEDDER_ARCH: mobilefacenet | iresnet18/34/50/100
+    # EMBED_FLIP_TTA: embed the aligned crop AND its horizontal mirror,
+    # renormalize the sum — synthetic identities are bilaterally symmetric
+    # (train/synthetic.py make_identity), so the mirror is the same identity
+    # at mirrored yaw and averaging denoises pose (measured: tier-2 e2e TPR
+    # 0.755 -> 0.821, benchmarks/flip_tta_profile.json). Doubles embed-stage
+    # FLOPs, so it ships default-off; the distance scale is mode-keyed
+    # (calibration_{arch}_flip.json) and the engine refuses a cross-mode one.
+    embed_flip_tta: bool = False
 
     # --- detector (reference deepfake_utils.py:41-48) ---
     det_size: int = 640                  # DET_SIZE square detector input
@@ -229,6 +237,7 @@ _ENV_MAP = {
     "min_face_quality": ("MIN_FACE_QUALITY", float),
     "embed_dim": ("EMBED_DIM", int),
     "embedder_arch": ("EMBEDDER_ARCH", str),
+    "embed_flip_tta": ("EMBED_FLIP_TTA", bool),
     "det_size": ("DET_SIZE", int),
     "det_conf_threshold": ("DET_CONF_THRESHOLD", float),
     "det_nms_threshold": ("DET_NMS_THRESHOLD", float),

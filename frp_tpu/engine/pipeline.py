@@ -249,6 +249,7 @@ def build_stages(
     compute_dtype: str = "bfloat16",
     spoof_size: int = 112,
     embedder_forward=mobilefacenet_forward,
+    flip_tta: bool = False,
 ):
     """The same pipeline as ``build_pipeline`` split into four chained jitted
     stages (detect -> crop -> embed -> match).
@@ -370,6 +371,17 @@ def build_stages(
         Returns (embeddings [K, D] f32, fake_prob [K] f32 | None)."""
         emb_in = normalize_face(flat).astype(cdtype)
         emb = embedder_forward(params["embedder"], emb_in)
+        if flip_tta:
+            # horizontal-mirror test-time augmentation (EMBED_FLIP_TTA):
+            # the flipped crop is the same identity at mirrored yaw, so the
+            # renormalized mean denoises pose — measured tier-2 e2e TPR
+            # 0.755 -> 0.821 (benchmarks/flip_tta_profile.json). Costs one
+            # extra embedder forward; spoof is NOT doubled (its decision
+            # showed no pose sensitivity worth 2x the classifier).
+            emb_f = embedder_forward(params["embedder"], emb_in[:, :, ::-1, :])
+            s = emb + emb_f
+            emb = s / jnp.maximum(
+                jnp.linalg.norm(s, axis=-1, keepdims=True), 1e-12)
         fake = None
         if with_spoof:
             scrops = flat
@@ -670,6 +682,7 @@ class RecognitionEngine:
             with_spoof=self.with_spoof,
             compute_dtype=self.cfg.compute_dtype,
             embedder_forward=self._embedder_forward,
+            flip_tta=getattr(self.cfg, "embed_flip_tta", False),
         )
         # device-resident previous I420 batch for delta transfer
         # (submit_encoded); None until the first raw keyframe
@@ -710,15 +723,27 @@ class RecognitionEngine:
         # every distance band
         arch = getattr(self.cfg, "embedder_arch", "mobilefacenet")
         wd = os.path.dirname(emb_path)
-        names = [f"calibration_{arch}.json"]
-        if arch == "mobilefacenet":
-            names.append("calibration.json")  # the shipped default's file
+        # mode-keyed calibration: flip-TTA changes the embedding function,
+        # so its distance distribution gets its OWN artifact — applying the
+        # non-flip scale to flip-averaged embeddings (or vice versa) would
+        # silently shift every distance band
+        flip = bool(getattr(self.cfg, "embed_flip_tta", False))
+        if flip:
+            names = [f"calibration_{arch}_flip.json"]
+        else:
+            names = [f"calibration_{arch}.json"]
+            if arch == "mobilefacenet":
+                names.append("calibration.json")  # the shipped default's file
         for name in names:
             try:
                 with open(os.path.join(wd, name)) as f:
                     cal = json.load(f)
                 scale = float(cal["distance_scale"])
             except (OSError, KeyError, ValueError, TypeError):
+                continue
+            if bool(cal.get("flip_tta", False)) != flip:
+                # belt-and-braces with the filename keying: a hand-renamed
+                # artifact must not cross modes
                 continue
             # stale-calibration guard (ADVICE r4 high): the scale is keyed
             # to the exact weights it was measured on — round 4 committed a
@@ -746,16 +771,19 @@ class RecognitionEngine:
                         f"weights sha256={expect[:12]}… but {path} has "
                         f"sha256={got[:12]}…: the distance scale does not "
                         "correspond to these weights. Re-run "
-                        f"tools/calibrate_embedder.py --arch {arch} (and "
-                        f"tools/tiered_eval.py --arch {arch}) and commit "
+                        f"tools/calibrate_embedder.py --arch {arch}"
+                        f"{' --flip' if flip else ''} (and "
+                        f"tools/tiered_eval.py --arch {arch}"
+                        f"{' --flip' if flip else ''}) and commit "
                         "weights + artifacts together."
                     )
             return scale
-        if arch != "mobilefacenet":
+        if flip or arch != "mobilefacenet":
+            flag = " --flip" if flip else ""
             logger.warning(
-                "no calibration_%s.json beside %s: distances are on the raw "
-                "embedder scale (run tools/calibrate_embedder.py --arch %s)",
-                arch, emb_path, arch,
+                "no %s beside %s: distances are on the raw embedder scale "
+                "(run tools/calibrate_embedder.py --arch %s%s)",
+                names[0], emb_path, arch, flag,
             )
         return 1.0
 

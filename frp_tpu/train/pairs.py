@@ -51,6 +51,7 @@ def embed_crops(
     batch: int = 64,
     apply_calibration: bool = True,
     arch: str = "mobilefacenet",
+    flip: bool = False,
 ) -> np.ndarray:
     """Embed rendered crops with the shipped (or given) embedder params
     (``arch`` selects the family: mobilefacenet or an iresnet variant).
@@ -58,8 +59,11 @@ def embed_crops(
     With ``apply_calibration`` (default) embeddings are multiplied by the
     engine's measured distance scale, putting distances in the reference's
     0.4/0.6 band geometry — the same transform the serving embed stage
-    applies. Pass False to measure the raw scale (the calibration tool)."""
+    applies. Pass False to measure the raw scale (the calibration tool).
+    ``flip`` applies the engine's flip-TTA transform (renormalized mean
+    with the horizontal mirror)."""
     import jax
+    import jax.numpy as jnp
 
     from frp_tpu.train.arcface import backbone_family
 
@@ -71,11 +75,25 @@ def embed_crops(
 
         eng = RecognitionEngine(load_config(
             det_size=128, max_faces_per_frame=4, embedder_arch=arch,
+            embed_flip_tta=flip,  # mode-keyed scale (engine refuses a cross-mode one)
         ))
         params = eng.params["embedder"]
         if apply_calibration:
             scale = eng.distance_scale
-    fwd = jax.jit(forward)
+    if flip:
+        # flip-TTA (engine EMBED_FLIP_TTA): renormalized mean with the
+        # horizontal mirror — must match the embed stage's transform; ONE
+        # jitted program, not eager jnp on device data (CLAUDE.md gotcha 7)
+        def _fwd_flip(p, x):
+            e = forward(p, x)
+            e2 = forward(p, x[:, :, ::-1, :])
+            s_ = e + e2
+            return s_ / jnp.maximum(
+                jnp.linalg.norm(s_, axis=-1, keepdims=True), 1e-12)
+
+        fwd = jax.jit(_fwd_flip)
+    else:
+        fwd = jax.jit(forward)
     outs = []
     for i in range(0, len(crops), batch):
         # normalize on HOST numpy (trivial math) and keep per-batch results

@@ -125,6 +125,7 @@ def _plain_embed_stage(engine, build_stages):
             with_spoof=engine.with_spoof,
             compute_dtype=engine.cfg.compute_dtype,
             embedder_forward=engine._embedder_forward,
+            flip_tta=getattr(engine.cfg, "embed_flip_tta", False),
         )["embed"]
     except Exception:
         return None

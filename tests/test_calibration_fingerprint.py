@@ -95,3 +95,33 @@ def test_shipped_artifacts_match_shipped_weights():
             assert det_fp == weights_fingerprint(det), (
                 f"{path} was measured with a different detector than the "
                 f"shipped {os.path.basename(det)}")
+
+
+def test_flip_mode_keyed_calibration(tmp_path):
+    """Flip-TTA changes the embedding function, so the distance scale is
+    mode-keyed: a flip engine loads ONLY calibration_{arch}_flip.json and a
+    non-flip engine never loads it."""
+    eng, emb = _fake_engine(tmp_path)
+    fp = weights_fingerprint(str(emb))
+    (tmp_path / "calibration_iresnet18.json").write_text(json.dumps(
+        {"distance_scale": 0.82, "weights_sha256": fp}))
+    (tmp_path / "calibration_iresnet18_flip.json").write_text(json.dumps(
+        {"distance_scale": 0.64, "flip_tta": True, "weights_sha256": fp}))
+    assert eng._load_calibration() == pytest.approx(0.82)
+    eng.cfg.embed_flip_tta = True
+    assert eng._load_calibration() == pytest.approx(0.64)
+
+
+def test_flip_engine_refuses_cross_mode_artifact(tmp_path):
+    """A flip engine with only a non-flip calibration runs on the raw scale
+    (1.0) — and a hand-renamed non-flip artifact (missing flip_tta: true)
+    must not cross modes either."""
+    eng, emb = _fake_engine(tmp_path)
+    fp = weights_fingerprint(str(emb))
+    (tmp_path / "calibration_iresnet18.json").write_text(json.dumps(
+        {"distance_scale": 0.82, "weights_sha256": fp}))
+    eng.cfg.embed_flip_tta = True
+    assert eng._load_calibration() == pytest.approx(1.0)
+    (tmp_path / "calibration_iresnet18_flip.json").write_text(json.dumps(
+        {"distance_scale": 0.82, "weights_sha256": fp}))  # renamed, no field
+    assert eng._load_calibration() == pytest.approx(1.0)

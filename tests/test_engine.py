@@ -569,3 +569,57 @@ def test_embed_compaction_real_net_integration(monkeypatch):
     np.testing.assert_allclose(
         out_c["fake_prob"], out_p["fake_prob"], rtol=1e-4, atol=1e-5)
     assert np.all(out_c["fake_prob"][~valid] == 0)
+
+
+def _flip_sensitive_embedder(p, x, train=False, normalize=True):
+    """Tiny embedder whose value DEPENDS on left/right orientation (pools
+    the left half only) — the mean-pool _tiny_embedder is flip-invariant,
+    which would make a flip-TTA equivalence test a tautology."""
+    left = x[:, :, : x.shape[2] // 2, :].reshape(x.shape[0], -1, 3).mean(axis=1)
+    emb = jnp.tanh(left @ p["w"] + p["b"])
+    return (emb, {}) if train else emb
+
+
+def test_embed_stage_flip_tta_matches_manual(monkeypatch):
+    """EMBED_FLIP_TTA: the embed stage must produce the renormalized mean
+    of embed(crop) and embed(mirror(crop)) — for valid slots, scaled by the
+    calibration constant, zero elsewhere — and compose with valid-slot
+    compaction (the rung ladder runs the same _embed_core)."""
+    rng = np.random.default_rng(1)
+    params = {
+        "embedder": {
+            "w": rng.normal(size=(3, 16)).astype(np.float32),
+            "b": rng.normal(size=(16,)).astype(np.float32),
+        },
+    }
+    kw = dict(det_size=DET, max_faces=8, with_spoof=False,
+              compute_dtype="float32",
+              embedder_forward=_flip_sensitive_embedder)
+    b, m = 8, 8
+    crops = rng.uniform(0, 255, (b, m, 112, 112, 3)).astype(np.float32)
+    scale = 1.3
+
+    embed_flip = build_stages(**kw, flip_tta=True)["embed"]
+    monkeypatch.setenv("FRP_EMBED_COMPACT", "0")
+    embed_flip_plain = build_stages(**kw, flip_tta=True)["embed"]
+    monkeypatch.delenv("FRP_EMBED_COMPACT")
+
+    flat = crops.reshape(b * m, 112, 112, 3)
+    x = (flat - 127.5) / 128.0
+    e1 = np.asarray(_flip_sensitive_embedder(params["embedder"], jnp.asarray(x)))
+    e2 = np.asarray(_flip_sensitive_embedder(
+        params["embedder"], jnp.asarray(x[:, :, ::-1, :])))
+    s = e1 + e2
+    expect = s / np.maximum(np.linalg.norm(s, axis=-1, keepdims=True), 1e-12)
+    assert not np.allclose(e1, e2)  # the probe embedder IS flip-sensitive
+
+    for nv in (0, 7, 52, 64):  # empty, sparse rung, on-rung, full
+        valid = np.zeros(b * m, bool)
+        valid[rng.permutation(b * m)[:nv]] = True
+        valid = valid.reshape(b, m)
+        want = np.where(valid.reshape(-1, 1), expect * scale, 0.0)
+        for stage in (embed_flip, embed_flip_plain):
+            got = jax.device_get(stage(params, crops, valid, scale))
+            np.testing.assert_allclose(
+                got["embeddings_flat"], want, rtol=1e-4, atol=1e-5,
+                err_msg=f"nv={nv}")

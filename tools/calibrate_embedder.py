@@ -43,11 +43,16 @@ def main():
     p.add_argument("--arch", default="mobilefacenet",
                    help="embedder family to calibrate (engine loads the "
                         "arch-keyed calibration file for it)")
+    p.add_argument("--flip", action="store_true",
+                   help="calibrate the flip-TTA embedding mode "
+                        "(EMBED_FLIP_TTA); writes the mode-keyed "
+                        "calibration_{arch}_flip.json the engine requires")
     args = p.parse_args()
     if args.out is None:
-        args.out = ("weights/calibration.json"
-                    if args.arch == "mobilefacenet"
-                    else f"weights/calibration_{args.arch}.json")
+        suffix = "_flip" if args.flip else ""
+        args.out = ("weights/calibration%s.json" % suffix
+                    if args.arch == "mobilefacenet" and not args.flip
+                    else f"weights/calibration_{args.arch}{suffix}.json")
 
     from frp_tpu.config import load_config
     from frp_tpu.engine.pipeline import RecognitionEngine
@@ -70,6 +75,7 @@ def main():
     # engine the serving path would (correctly) refuse to start
     eng = RecognitionEngine(load_config(
         det_size=640, max_faces_per_frame=16, embedder_arch=args.arch,
+        embed_flip_tta=args.flip,
     ), allow_stale_calibration=True)
     # calibrate on the widened "mix" domain (synthetic.TIER_MIX) — the scale
     # must center EER for the traffic the platform actually serves, easy and
@@ -93,7 +99,8 @@ def main():
     crops, clabels = build_pair_crops(
         args.identities, 4, CALIB_SEED, difficulty="mix"
     )
-    emb_crop = embed_crops(crops, apply_calibration=False, arch=args.arch)
+    emb_crop = embed_crops(crops, apply_calibration=False, arch=args.arch,
+                           flip=args.flip)
     csame, cdiff = pair_distances(emb_crop, clabels)
 
     import jax
@@ -111,6 +118,7 @@ def main():
     payload = {
         "distance_scale": round(scale, 6),
         "arch": args.arch,
+        "flip_tta": bool(args.flip),
         "weights_file": os.path.basename(emb_file) if emb_file else None,
         "weights_sha256": weights_fingerprint(emb_file) if emb_file else None,
         "detector_sha256": weights_fingerprint(det_file) if det_file else None,

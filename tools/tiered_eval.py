@@ -38,11 +38,16 @@ def main():
     p.add_argument("--identities", type=int, default=20)
     p.add_argument("--variants", type=int, default=4)
     p.add_argument("--arch", default="mobilefacenet")
+    p.add_argument("--flip", action="store_true",
+                   help="evaluate the flip-TTA embedding mode "
+                        "(EMBED_FLIP_TTA; requires the mode-keyed "
+                        "calibration_{arch}_flip.json)")
     args = p.parse_args()
     if args.out is None:
-        args.out = ("weights/tiered_eval.json"
-                    if args.arch == "mobilefacenet"
-                    else f"weights/tiered_eval_{args.arch}.json")
+        suffix = "_flip" if args.flip else ""
+        args.out = ("weights/tiered_eval%s.json" % suffix
+                    if args.arch == "mobilefacenet" and not args.flip
+                    else f"weights/tiered_eval_{args.arch}{suffix}.json")
 
     from frp_tpu.config import load_config
     from frp_tpu.engine.pipeline import RecognitionEngine
@@ -58,6 +63,7 @@ def main():
 
     eng = RecognitionEngine(load_config(
         det_size=640, max_faces_per_frame=16, embedder_arch=args.arch,
+        embed_flip_tta=args.flip,
     ))
     rng = np.random.default_rng(SEED)
     import jax
@@ -69,6 +75,7 @@ def main():
     emb_file = eng.weights_loaded.get("embedder")
     out: dict = {"seed": SEED, "identities": args.identities,
                  "variants": args.variants, "arch": args.arch,
+                 "flip_tta": bool(args.flip),
                  # provenance: the numbers depend on the backend's numerics
                  # and the serving decimation kernel in effect — and on the
                  # exact weights (sha256 ties this artifact to the npz the
@@ -99,7 +106,8 @@ def main():
             args.identities, args.variants, SEED, difficulty=tier
         )
         crops = np.stack([jitter_crop(c, rng) for c in crops])
-        csame, cdiff = pair_distances(embed_crops(crops, arch=args.arch), clabels)
+        csame, cdiff = pair_distances(
+            embed_crops(crops, arch=args.arch, flip=args.flip), clabels)
         tier_out["crop"] = threshold_metrics(csame, cdiff)
         out["tiers"][str(tier)] = tier_out
         print(f"tier {tier}: recall={recall:.3f} "
