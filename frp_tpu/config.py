@@ -344,6 +344,33 @@ ENV_EXEMPT = {
 }
 
 
+# One-knob serving profiles (round 5). FRP_PROFILE=accuracy switches the
+# embedder to the measured hard-tier configuration — iresnet18 + flip-TTA,
+# the combination that clears the pre-registered tier-2 e2e TPR>=0.80 gate
+# (BASELINE.md "Hard-tier capacity path"; mode-keyed distance scale in
+# weights/calibration_iresnet18_flip.json). Explicitly set EMBEDDER_ARCH /
+# EMBED_FLIP_TTA env values still win over the preset, and an unknown
+# profile name fails loudly rather than silently serving the wrong models.
+PROFILES = {
+    "throughput": {},  # the defaults: MobileFaceNet, single-pass embed
+    "accuracy": {"embedder_arch": "iresnet18", "embed_flip_tta": True},
+}
+
+
+def _apply_profile(values: dict) -> None:
+    profile = os.getenv("FRP_PROFILE", "").strip().lower()
+    if not profile:
+        return
+    if profile not in PROFILES:
+        raise ValueError(
+            f"FRP_PROFILE={profile!r} unknown; valid: {sorted(PROFILES)}")
+    for key, preset in PROFILES[profile].items():
+        env = _ENV_MAP[key][0]
+        names = (env,) if isinstance(env, str) else env
+        if not any(os.getenv(n) is not None for n in names):
+            values[key] = preset
+
+
 def load_config(**overrides) -> Config:
     """Build a Config from the environment, with keyword overrides winning."""
     defaults = Config()
@@ -354,6 +381,7 @@ def load_config(**overrides) -> Config:
         env = _ENV_MAP.get(f.name)
         base = getattr(defaults, f.name)
         values[f.name] = _get(env[0], base, env[1]) if env else base
+    _apply_profile(values)
     values.update(overrides)
     return Config(**values)
 

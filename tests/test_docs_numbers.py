@@ -135,3 +135,24 @@ def test_baseline_spoof_quotes_match_artifact():
         assert row in text, (
             f"BASELINE.md spoof table row for {leg} is stale vs "
             f"weights/spoof_eval.json; expected cells: {row}")
+
+
+def test_baseline_flip_tta_quotes_match_artifact():
+    """The flip-TTA gate-decision table (BASELINE.md 'Flip-TTA clears the
+    gate') quotes benchmarks/flip_tta_profile.json — the measured basis for
+    shipping FRP_PROFILE=accuracy."""
+    path = os.path.join(ROOT, "benchmarks", "flip_tta_profile.json")
+    if not os.path.exists(path):
+        pytest.skip("no flip-TTA profile artifact")
+    with open(path) as f:
+        tiers = json.load(f)["tiers"]
+    with open(os.path.join(ROOT, "BASELINE.md")) as f:
+        text = f.read()
+    for tier in ("0", "1", "2", "3"):
+        b, fl = tiers[tier]["baseline"], tiers[tier]["flip_avg"]
+        tpr = f"{fl['tpr@0.6']:.3f}"
+        row = (f"{b['tpr@0.6']:.3f} → {tpr if tier != '2' else f'**{tpr}**'} "
+               f"| {fl['fpr@0.6']:.3f} | {fl['auc']:.4f} | {fl['eer']:.3f} |")
+        assert row in text, (
+            f"BASELINE.md flip-TTA tier-{tier} row is stale vs "
+            f"benchmarks/flip_tta_profile.json; expected cells: {row}")

@@ -233,3 +233,33 @@ def test_cors_vary_on_all_allowlist_variants():
     h = _dispatch_headers("*", "http://a.example")
     assert h["access-control-allow-origin"] == "*"
     assert "vary" not in h
+
+
+# --- FRP_PROFILE one-knob serving presets (round 5) ------------------------
+
+def test_profile_accuracy_selects_ir18_flip(monkeypatch):
+    monkeypatch.setenv("FRP_PROFILE", "accuracy")
+    c = load_config()
+    assert c.embedder_arch == "iresnet18"
+    assert c.embed_flip_tta is True
+
+
+def test_profile_explicit_env_wins_over_preset(monkeypatch):
+    monkeypatch.setenv("FRP_PROFILE", "accuracy")
+    monkeypatch.setenv("EMBED_FLIP_TTA", "0")
+    c = load_config()
+    assert c.embedder_arch == "iresnet18"  # preset still fills the unset key
+    assert c.embed_flip_tta is False       # explicit env wins
+
+
+def test_profile_throughput_is_defaults(monkeypatch):
+    monkeypatch.setenv("FRP_PROFILE", "throughput")
+    c = load_config()
+    assert c.embedder_arch == "mobilefacenet"
+    assert c.embed_flip_tta is False
+
+
+def test_profile_unknown_fails_loudly(monkeypatch):
+    monkeypatch.setenv("FRP_PROFILE", "acuracy")
+    with pytest.raises(ValueError, match="FRP_PROFILE"):
+        load_config()
