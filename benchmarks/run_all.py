@@ -92,11 +92,24 @@ def headline_attempts(n: int) -> list[dict]:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     results: list[dict] = []
     failed = 0
+    # same scan-ticks-per-submission plan as bench.py's driver attempts
+    # (BENCH_ATTEMPT_TICKS default): the consistent 2-tick config first,
+    # then the host-lottery 3-tick draws; recorded per attempt below
+    ticks_plan = [t.strip() for t in os.getenv(
+        "BENCH_ATTEMPT_TICKS", "2,3,3").split(",")]
     for k in range(n):
+        if k:
+            # the relay needs ~a minute to re-admit a new process after the
+            # previous one exits (CLAUDE.md gotcha #2/#15) — launching the
+            # next attempt instantly risks an 800+ s wedged chip-wait
+            time.sleep(float(os.getenv("BENCH_RECOVERY_SLEEP_S", "45")))
+        env = dict(os.environ)
+        if "BENCH_TICKS" not in os.environ:
+            env["BENCH_TICKS"] = ticks_plan[min(k, len(ticks_plan) - 1)]
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.join(root, "bench.py"), "--once"],
-                capture_output=True, text=True, timeout=1200,
+                capture_output=True, text=True, timeout=1200, env=env,
             )
         except subprocess.TimeoutExpired:
             # a hung attempt (cold compile + wedged relay) must not abort
@@ -347,6 +360,11 @@ def main():
             "attempts": len(attempts),
             "attempts_failed": attempts[0].get("_attempts_failed", 0),
             "values": [round(v, 1) for v in vals],
+            # run order, so each value's submission config is auditable
+            "attempts_run_order": [
+                {"value": round(a["value"], 1),
+                 "ticks": a["detail"].get("ticks_per_submission")}
+                for a in attempts],
             "p50_detection_to_alert_ms_best_run": best["detail"].get(
                 "p50_detection_to_alert_ms"),
             "mfu_device_best_run": best["detail"].get("mfu_device"),
